@@ -1,0 +1,133 @@
+"""Snapshot manifest + atomic commit protocol for the Parquet lake table.
+
+This is the engine's from-scratch Iceberg-semantics layer (SURVEY.md §7.0: no
+Iceberg/Delta jars offline): a JSON manifest per snapshot version records the exact
+file set, schema, committed batch ids and the resume lease; `_meta/_current` is an
+atomically-replaced pointer file, so readers always see a complete snapshot
+(snapshot isolation) and a crash between data-file write and pointer swap leaves only
+harmless orphan files — the manifest is the truth (SURVEY.md §7.3).
+
+Exactly-once: the reference gets it from an idempotent transactional Kafka producer
+(/root/reference/src/queue/eventhub/utils.ts:28-39). Here the commit *is* the
+transaction: a manifest lists the `(source_id, batch_id)` pairs ever applied; a
+re-delivered batch whose id is in the ledger is a no-op (SURVEY.md §2.2 E21).
+
+The lease embedded per commit mirrors the reference's ContinuationTokenItem
+`{id, lease}` (/root/reference/src/factory/types.ts:7-12) extended with batch_id,
+per-partition lineage and row/byte metrics (north_star).
+
+Scale note: at 10^10 events a JSON file list would be replaced by Avro manifest files
+with a manifest-list indirection (the Iceberg layout); the commit protocol —
+write-new-files → write-manifest → atomic pointer swap — is unchanged. The ledger
+stays O(batches), and could be pruned to a high-watermark per source.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import types as T
+
+
+@dataclass
+class FileEntry:
+    path: str  # relative to table root
+    bucket: int
+    rows: int
+    bytes: int
+    min_seq: int | None = None
+    max_seq: int | None = None
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "FileEntry":
+        return cls(**d)
+
+
+@dataclass
+class Manifest:
+    version: int
+    parent: int | None
+    schema_json: str  # Spark StructType json
+    schema_version: int
+    n_buckets: int
+    key_cols: list[str]
+    files: list[FileEntry]
+    committed_batches: list[str]  # "source_id:batch_id" idempotence ledger
+    lease: dict  # {id, lease, batch_id, lineage, metrics}
+    committed_at: float = 0.0
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self.schema_json))
+
+    def to_json(self) -> str:
+        d = asdict(self)
+        return json.dumps(d, indent=1)
+
+    @classmethod
+    def from_json(cls, s: str) -> "Manifest":
+        d = json.loads(s)
+        d["files"] = [FileEntry.from_dict(f) for f in d["files"]]
+        return cls(**d)
+
+
+class ManifestStore:
+    """Reads/writes manifests under `<table>/_meta/` with an atomic current-pointer."""
+
+    def __init__(self, table_path: str):
+        self.table_path = table_path
+        self.meta_dir = os.path.join(table_path, "_meta")
+
+    def _version_path(self, version: int) -> str:
+        return os.path.join(self.meta_dir, f"v{version}.json")
+
+    @property
+    def current_pointer(self) -> str:
+        return os.path.join(self.meta_dir, "_current")
+
+    def exists(self) -> bool:
+        return os.path.exists(self.current_pointer)
+
+    def current_version(self) -> int:
+        with open(self.current_pointer) as f:
+            return json.load(f)["version"]
+
+    def load(self, version: int | None = None) -> Manifest:
+        if version is None:
+            version = self.current_version()
+        with open(self._version_path(version)) as f:
+            return Manifest.from_json(f.read())
+
+    def commit(self, manifest: Manifest, expected_parent: int | None) -> None:
+        """Write v{N}.json then atomically swap the pointer.
+
+        Optimistic concurrency: refuse if someone committed since we planned (the
+        single-driver sandbox never hits this; a multi-writer deployment retries).
+        Crash-safety: the pointer is replaced via os.replace (atomic on POSIX);
+        a crash before the swap leaves v{N}.json + data files orphaned but the table
+        still points at the parent snapshot — replay re-applies the batch and the
+        ledger check keeps it exactly-once.
+        """
+        os.makedirs(self.meta_dir, exist_ok=True)
+        if self.exists():
+            cur = self.current_version()
+            if cur != expected_parent:
+                raise RuntimeError(
+                    f"concurrent commit: current={cur}, expected parent={expected_parent}"
+                )
+        manifest.committed_at = time.time()
+        vpath = self._version_path(manifest.version)
+        with open(vpath + ".tmp", "w") as f:
+            f.write(manifest.to_json())
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(vpath + ".tmp", vpath)
+        tmp_ptr = self.current_pointer + f".tmp{manifest.version}"
+        with open(tmp_ptr, "w") as f:
+            json.dump({"version": manifest.version}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp_ptr, self.current_pointer)

@@ -1,0 +1,318 @@
+"""LakeTable — key-bucketed, snapshot-isolated Parquet table with MERGE upsert.
+
+The apply side the reference lacks (it stops at producing to Event Hub,
+/root/reference/src/queue/eventhub/utils.ts:91-98): an Iceberg-*semantics* table
+(north_rule) built from scratch over Parquet + the JSON manifest protocol in
+`lake.manifest`.
+
+Physical layout and why it scales (SURVEY.md §4):
+
+- Rows live in files assigned by `bucket = pmod(xxhash64(key_cols), n_buckets)` —
+  a pure function of the key. MERGE therefore touches *only the buckets present in
+  the micro-batch* (copy-on-write at bucket granularity); unaffected buckets' files
+  carry over into the new snapshot untouched. At 100 TB with O(10^4) buckets a
+  typical batch rewrites a small fraction of the table.
+- Because existing rows and batch rows hash-agree on bucket, MERGE needs **no join at
+  all**: union(existing-in-affected-buckets, deduped-batch) → per-key LWW max_by →
+  drop delete-winners → rewrite those buckets. The only shuffle is the max_by
+  aggregation, with map-side partial combine. (Iceberg's MERGE plans the same thing
+  as a join + file overwrite; union+max_by is the equivalent with one less shuffle.)
+- Per-file min/max `_last_seq` stats are recorded in the manifest for audit/pruning;
+  file listing is O(manifest), never a directory walk.
+
+Exactly-once: `merge(batch_id=...)` consults the manifest's committed-batch ledger and
+turns re-delivered batches into no-ops (reference's idempotent transactional producer
+contract, /root/reference/src/queue/eventhub/utils.ts:28-39 → SURVEY.md §2.2 E21).
+
+Schema evolution (E20): additive — a batch with new payload columns extends the
+manifest schema; old files are *not* rewritten, readers project them with NULLs via
+the explicit manifest schema (Spark parquet reader fills absent columns).
+
+Time travel: `read(version=N)` reads any retained snapshot (replay verification).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from change_data_capturer_ms_spark.errors import MissingResourceError
+from change_data_capturer_ms_spark.lake.manifest import FileEntry, Manifest, ManifestStore
+from change_data_capturer_ms_spark.operators.dedupe import lww_dedupe
+
+SEQ_META_COL = "_last_seq"
+
+
+def bucket_expr(key_cols: list[str], n_buckets: int):
+    """Deterministic bucket id — pure function of the key (never random), so dedupe
+    and co-location survive any repartitioning (SURVEY.md §7.3 salting note)."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets))
+
+
+class LakeTable:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_cols: list[str] | None = None,
+        n_buckets: int = 16,
+    ):
+        self.spark = spark
+        self.path = path
+        self.store = ManifestStore(path)
+        self._key_cols = key_cols or ["repo", "path"]
+        self._n_buckets = n_buckets
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def exists(self) -> bool:
+        return self.store.exists()
+
+    def create(self, schema: T.StructType) -> Manifest:
+        """CREATE TABLE: empty snapshot v0 (reference getOrCreate collection,
+        /root/reference/src/capturer/mongo/utils.ts:51-70)."""
+        if self.exists():
+            raise ValueError(f"table already exists at {self.path}")
+        if SEQ_META_COL not in schema.fieldNames():
+            schema = T.StructType(
+                list(schema.fields) + [T.StructField(SEQ_META_COL, T.LongType(), True)]
+            )
+        m = Manifest(
+            version=0,
+            parent=None,
+            schema_json=schema.json(),
+            schema_version=0,
+            n_buckets=self._n_buckets,
+            key_cols=list(self._key_cols),
+            files=[],
+            committed_batches=[],
+            lease={},
+        )
+        self.store.commit(m, expected_parent=None)
+        return m
+
+    def get_or_create(self, schema: T.StructType) -> Manifest:
+        return self.manifest() if self.exists() else self.create(schema)
+
+    def manifest(self, version: int | None = None) -> Manifest:
+        if not self.exists():
+            # message parity with the reference's missing-collection Left
+            # (/root/reference/src/capturer/mongo/utils.ts:43-46)
+            raise MissingResourceError(f"Collection not found: {self.path}")
+        return self.store.load(version)
+
+    # -- read ----------------------------------------------------------------
+
+    def read(self, version: int | None = None, buckets: set[int] | None = None) -> DataFrame:
+        """Snapshot read. `buckets` prunes to a file subset (the MERGE fast path)."""
+        m = self.manifest(version)
+        files = m.files if buckets is None else [f for f in m.files if f.bucket in buckets]
+        schema = m.schema
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.path, f.path) for f in files]
+        # explicit manifest schema (not mergeSchema): O(1) planning instead of a
+        # footer scan over every file, and NULL-fill for pre-evolution files
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def committed_batches(self) -> set[str]:
+        return set(self.manifest().committed_batches)
+
+    def lease(self) -> dict:
+        """The inspectable resume lease, mirroring ContinuationTokenItem {id, lease}
+        (/root/reference/src/factory/types.ts:7-12)."""
+        return dict(self.manifest().lease)
+
+    # -- MERGE ---------------------------------------------------------------
+
+    def merge(
+        self,
+        batch: DataFrame,
+        seq_col: str = "seq",
+        op_col: str = "op",
+        batch_id: int | str = 0,
+        source_id: str = "changelog",
+        lease_token: str | None = None,
+        delete_op: str = "delete",
+        tiebreakers: list[str] | None = None,
+        lineage: list[dict] | None = None,
+    ) -> dict:
+        """MERGE the micro-batch into the table; returns commit metrics.
+
+        WHEN MATCHED AND op='delete' THEN DELETE / WHEN MATCHED UPDATE /
+        WHEN NOT MATCHED INSERT — resolved as union + per-key LWW (see module doc).
+
+        Idempotent on (source_id, batch_id): a re-delivered batch is a no-op and
+        returns {"skipped": True} (E21 exactly-once).
+        """
+        m = self.manifest()
+        ledger_key = f"{source_id}:{batch_id}"
+        if ledger_key in m.committed_batches:
+            return {"skipped": True, "version": m.version, "batch_id": batch_id}
+
+        keys = m.key_cols
+        n_buckets = m.n_buckets
+        old_schema = m.schema
+        payload_cols = [c for c in batch.columns if c not in (seq_col, op_col)]
+        # additive schema evolution: new payload columns extend the schema
+        new_fields = [
+            f for f in batch.schema.fields
+            if f.name in payload_cols and f.name not in old_schema.fieldNames()
+        ]
+        schema = old_schema
+        schema_version = m.schema_version
+        if new_fields:
+            fields = [f for f in old_schema.fields if f.name != SEQ_META_COL]
+            fields += [T.StructField(f.name, f.dataType, True) for f in new_fields]
+            fields.append(T.StructField(SEQ_META_COL, T.LongType(), True))
+            schema = T.StructType(fields)
+            schema_version += 1
+        out_cols = [f.name for f in schema.fields]
+
+        # 1) dedupe the batch per key (LWW by seq; map-side combine)
+        deduped = lww_dedupe(batch, keys, seq_col=seq_col, tiebreakers=tiebreakers)
+        deduped = deduped.withColumn("_bucket", bucket_expr(keys, n_buckets))
+
+        # 2) one aggregation job yields affected buckets + batch metrics + lease
+        agg = (
+            deduped.groupBy("_bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col(op_col) == delete_op, 1).otherwise(0)).alias("dels"),
+                F.max(seq_col).alias("max_seq"),
+            )
+            .collect()
+        )  # bounded by n_buckets rows — never data-proportional
+        if not agg:
+            metrics = {"rows": 0, "upserts": 0, "deletes": 0}
+            self._commit(m, m.files, schema, schema_version, ledger_key,
+                         source_id, batch_id, lease_token, metrics, lineage)
+            return {"skipped": False, "version": m.version + 1, "batch_id": batch_id,
+                    "metrics": metrics}
+        affected = {int(r["_bucket"]) for r in agg}
+        batch_rows = sum(r["n"] for r in agg)
+        batch_deletes = sum(r["dels"] for r in agg)
+        max_seq = max(r["max_seq"] for r in agg)
+
+        # 3) existing rows in affected buckets only (bucket-pruned snapshot scan)
+        existing = self.read(buckets=affected)
+        existing = (
+            existing
+            .withColumn(seq_col, F.col(SEQ_META_COL))
+            .withColumn(op_col, F.lit(None).cast("string"))
+            .withColumn("_prio", F.lit(0))
+            .drop(SEQ_META_COL)
+        )
+        incoming = deduped.drop("_bucket").withColumn("_prio", F.lit(1))
+
+        # 4) union (schema-aligned) → per-key LWW → drop delete-winners
+        merged = existing.unionByName(incoming, allowMissingColumns=True)
+        winners = lww_dedupe(
+            merged, keys, seq_col=seq_col,
+            tiebreakers=["_prio"] + (tiebreakers or []),
+        )
+        final = (
+            winners.filter((F.col(op_col).isNull()) | (F.col(op_col) != delete_op))
+            .withColumn(SEQ_META_COL, F.col(seq_col))
+            .select(*out_cols)
+        )
+
+        # 5) copy-on-write: rewrite affected buckets into this version's data dir
+        new_files = self._write_buckets(final, keys, n_buckets, m.version + 1,
+                                        len(affected))
+        carried = [f for f in m.files if f.bucket not in affected]
+        rows_written = sum(f.rows for f in new_files)
+        metrics = {
+            "rows": int(batch_rows),
+            "upserts": int(batch_rows - batch_deletes),
+            "deletes": int(batch_deletes),
+            "rows_written": int(rows_written),
+            "buckets_rewritten": len(affected),
+            "buckets_total": n_buckets,
+            "max_seq": int(max_seq),
+        }
+        self._commit(m, carried + new_files, schema, schema_version, ledger_key,
+                     source_id, batch_id, lease_token, metrics, lineage)
+        return {"skipped": False, "version": m.version + 1, "batch_id": batch_id,
+                "metrics": metrics}
+
+    # -- internals -----------------------------------------------------------
+
+    def _write_buckets(
+        self, df: DataFrame, keys: list[str], n_buckets: int,
+        version: int, n_affected: int,
+    ) -> list[FileEntry]:
+        """Write df partitioned by bucket under data/v{N}/; return stats entries.
+
+        repartition on _bucket co-locates each bucket in one task → one file per
+        bucket (plus the partitionBy dir layout for cheap bucket-set reads).
+        """
+        rel_dir = os.path.join("data", f"v{version}-{uuid.uuid4().hex[:8]}")
+        out_dir = os.path.join(self.path, rel_dir)
+        (
+            df.withColumn("_bucket", bucket_expr(keys, n_buckets))
+            .repartition(max(n_affected, 1), "_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(out_dir)
+        )
+        entries: list[FileEntry] = []
+        import pyarrow.parquet as pq
+
+        for fpath in glob.glob(os.path.join(out_dir, "_bucket=*", "*.parquet")):
+            bucket = int(os.path.basename(os.path.dirname(fpath)).split("=", 1)[1])
+            md = pq.ParquetFile(fpath).metadata
+            if md.num_rows == 0:
+                continue
+            min_seq = max_seq = None
+            try:
+                idx = next(
+                    i for i in range(md.num_columns)
+                    if md.row_group(0).column(i).path_in_schema == SEQ_META_COL
+                )
+                stats = [md.row_group(g).column(idx).statistics for g in range(md.num_row_groups)]
+                if all(s is not None for s in stats):
+                    min_seq = min(s.min for s in stats)
+                    max_seq = max(s.max for s in stats)
+            except StopIteration:
+                pass
+            entries.append(
+                FileEntry(
+                    path=os.path.relpath(fpath, self.path),
+                    bucket=bucket,
+                    rows=md.num_rows,
+                    bytes=os.path.getsize(fpath),
+                    min_seq=min_seq,
+                    max_seq=max_seq,
+                )
+            )
+        return entries
+
+    def _commit(self, parent: Manifest, files: list[FileEntry], schema: T.StructType,
+                schema_version: int, ledger_key: str, source_id: str,
+                batch_id, lease_token, metrics: dict, lineage) -> None:
+        lease = {
+            "id": source_id,  # reference: collection/container id (cosmos.ts:92-104)
+            "lease": lease_token if lease_token is not None
+                     else str(metrics.get("max_seq", parent.lease.get("lease", ""))),
+            "batch_id": batch_id,
+            "lineage": lineage or [],
+            "metrics": metrics,
+        }
+        new = Manifest(
+            version=parent.version + 1,
+            parent=parent.version,
+            schema_json=schema.json(),
+            schema_version=schema_version,
+            n_buckets=parent.n_buckets,
+            key_cols=parent.key_cols,
+            files=files,
+            committed_batches=parent.committed_batches + [ledger_key],
+            lease=lease,
+        )
+        self.store.commit(new, expected_parent=parent.version)

@@ -1,0 +1,90 @@
+"""Last-writer-wins dedupe by key + skew-defusing salted repartition.
+
+Reference semantics: the lease container is upserted last-writer-wins on `id`
+(/root/reference/src/capturer/cosmos/utils.ts:55-62 `items.upsert`); the engine
+generalizes that to per-(repo, path) LWW by monotonic seq over the change stream
+(SURVEY.md §2.2 E6, E17).
+
+Scale design:
+- `lww_dedupe` (default) is an aggregation — `max_by(struct(*), ordering)` — which
+  Spark executes as partial_max_by (map-side combine) + final_max_by. On a change log
+  with high per-key duplication (the common CDC case) the shuffle carries one row per
+  key per map partition instead of every event: this is the operator that makes
+  10^10-event batches feasible.
+- `lww_dedupe_window` is the row_number()==1 formulation (same result, full shuffle of
+  all rows, no partial aggregation) — kept for parity testing and for consumers that
+  need losing rows too (rank > 1).
+- Ties on seq are broken deterministically by `tiebreakers` (replay convergence
+  depends on this, SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _ordering_struct(seq_col: str, tiebreakers: list[str]):
+    return F.struct(F.col(seq_col), *[F.col(c) for c in tiebreakers])
+
+
+def lww_dedupe(
+    df: DataFrame,
+    keys: list[str],
+    seq_col: str = "seq",
+    tiebreakers: list[str] | None = None,
+) -> DataFrame:
+    """Keep, per key, the row with the greatest (seq, *tiebreakers).
+
+    Aggregation form: groupBy(keys).agg(max_by(struct(all_columns), ordering)).
+    Partial aggregation happens map-side, so shuffle volume is O(distinct keys per
+    partition), not O(rows).
+    """
+    tiebreakers = tiebreakers or []
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    winner = F.max_by(payload, _ordering_struct(seq_col, tiebreakers)).alias("_w")
+    out = df.groupBy(*[F.col(k) for k in keys]).agg(winner)
+    return out.select(*[F.col(f"_w.{c}").alias(c) for c in df.columns])
+
+
+def lww_dedupe_window(
+    df: DataFrame,
+    keys: list[str],
+    seq_col: str = "seq",
+    tiebreakers: list[str] | None = None,
+) -> DataFrame:
+    """Window-rank formulation of LWW (ROW_NUMBER() OVER (... ORDER BY seq DESC) = 1)."""
+    tiebreakers = tiebreakers or []
+    order = [F.col(seq_col).desc()] + [F.col(c).desc() for c in tiebreakers]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def salted_repartition(
+    df: DataFrame,
+    hot_cols: list[str],
+    salt_cols: list[str],
+    salt_buckets: int = 8,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Repartition by (hot_cols..., salt) where salt = xxhash64(salt_cols) % buckets.
+
+    Defuses hot-key skew (one repo carrying 50% of events, north_rule) while keeping
+    correctness: the salt is a *pure function of the full key* (hot_cols + salt_cols),
+    never random, so every row of a given (repo, path) lands in the same partition and
+    per-key operators (LWW dedupe, grouped-map UDFs) stay exact — the invariant test
+    asserts salted == unsalted (SURVEY.md §2.2 E17).
+
+    At cluster scale this is the partitioner for the pandas-UDF transform stage
+    (op classification / flattening / hashing) so a hot repo spreads over
+    `salt_buckets` executors instead of serializing on one.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(salt_buckets))
+    df = df.withColumn("_salt", salt)
+    cols = [F.col(c) for c in hot_cols] + [F.col("_salt")]
+    out = df.repartition(num_partitions, *cols) if num_partitions else df.repartition(*cols)
+    return out.drop("_salt")

@@ -1,0 +1,23 @@
+from change_data_capturer_ms_spark.sources.changelog import (
+    CHANGE_LOG_SCHEMA,
+    ChangeLogReader,
+    gen_changelog,
+    write_changelog,
+)
+from change_data_capturer_ms_spark.sources.registry import (
+    create_source,
+    create_sink,
+    register_source,
+    register_sink,
+)
+
+__all__ = [
+    "CHANGE_LOG_SCHEMA",
+    "ChangeLogReader",
+    "gen_changelog",
+    "write_changelog",
+    "create_source",
+    "create_sink",
+    "register_source",
+    "register_sink",
+]

@@ -1,0 +1,187 @@
+"""The CDC pipeline: change-log tail → transform → MERGE apply → lease.
+
+Re-expression of the reference's two service loops under one Structured Streaming
+shape (SURVEY.md §3.2/§3.3 — push vs pull collapse into the micro-batch trigger):
+
+reference (Cosmos pull loop, /root/reference/src/capturer/cosmos/cosmos.ts:51-112):
+    for await page:  skip NotModified → processResults(page) → upsert lease
+engine:
+    readStream(log) → foreachBatch: prepare (filter/classify/flatten/hash, Arrow UDFs
+    over salted partitions) → LakeTable.merge (idempotent, exactly-once) → lease JSON
+
+Ordering note: the reference commits the lease *after* processing (at-least-once
+delivery); we keep commit-after-apply but the apply itself is idempotent on batch_id,
+upgrading the loop to exactly-once (SURVEY.md §2.2 E21). The Structured Streaming
+checkpoint is the machine-readable resume state (reference resumeAfter token,
+mongo.ts:65-88); the `_lease/*.json` files keep the reference's *inspectable* lease
+contract {id, lease} (/root/reference/src/factory/types.ts:7-12) extended with
+batch_id, per-partition lineage and metrics (north_star).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from change_data_capturer_ms_spark.config import EngineConfig
+from change_data_capturer_ms_spark.functions.classify import classify_op_pandas, classify_op_builtin
+from change_data_capturer_ms_spark.functions.flatten import flatten_json_col, PROPS_SCHEMA
+from change_data_capturer_ms_spark.functions.hashing import (
+    content_sha256_builtin,
+    content_sha256_pandas,
+)
+from change_data_capturer_ms_spark.lake.table import LakeTable
+from change_data_capturer_ms_spark.operators.dedupe import salted_repartition
+from change_data_capturer_ms_spark.sources.changelog import ChangeLogReader
+
+
+def prepare_batch(
+    df: DataFrame,
+    cfg: EngineConfig | None = None,
+    use_pandas_udfs: bool = True,
+    flatten_props: bool = False,
+) -> DataFrame:
+    """Capture-side transform: op filter → salted repartition → classify + hash
+    (Arrow UDFs) → optional flatten. Returns a merge-ready frame.
+
+    - op filter: server-side $match parity (mongo.ts:21-25), pushed into the scan.
+    - salted repartition: spreads a hot repo over salt_buckets partitions before the
+      Python-worker stage; salt is a pure function of (repo, path) so per-key
+      semantics downstream are unchanged (E17).
+    - classify/hash: pandas/Arrow UDFs per north_star; builtin twins available for
+      max-throughput deployments (use_pandas_udfs=False).
+    """
+    cfg = cfg or EngineConfig()
+    out = df.filter(F.col("op").isin(*cfg.captured_ops))
+    out = salted_repartition(out, hot_cols=["repo"], salt_cols=["path"],
+                             salt_buckets=cfg.salt_buckets)
+    classify = classify_op_pandas if use_pandas_udfs else classify_op_builtin
+    sha = content_sha256_pandas if use_pandas_udfs else content_sha256_builtin
+    out = out.withColumn("op_class", classify("op"))
+    out = out.withColumn(
+        "content_sha256",
+        F.when(F.col("content").isNull(), F.lit(None).cast("string"))
+         .otherwise(sha("content")),
+    )
+    if flatten_props:
+        out = flatten_json_col(out, "props", PROPS_SCHEMA, prefix="p_", drop_source=True)
+    drop = [c for c in ("seq_bucket", "op_class") if c in out.columns]
+    return out.drop(*drop)
+
+
+class CDCPipeline:
+    """End-to-end engine loop over one source table (reference ICDCService,
+    /root/reference/src/factory/service.ts:32-41)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        log_path: str,
+        table: LakeTable,
+        checkpoint_dir: str,
+        source_id: str = "changelog",
+        cfg: EngineConfig | None = None,
+        use_pandas_udfs: bool = True,
+        collect_lineage: bool = True,
+    ):
+        self.spark = spark
+        self.reader = ChangeLogReader(spark, log_path)
+        self.table = table
+        self.checkpoint_dir = checkpoint_dir
+        self.source_id = source_id
+        self.cfg = cfg or EngineConfig()
+        self.use_pandas_udfs = use_pandas_udfs
+        self.collect_lineage = collect_lineage
+        self.lease_dir = os.path.join(table.path, "_lease")
+
+    # -- lease (inspectable resume state) ------------------------------------
+
+    def _write_lease(self, lease: dict) -> None:
+        """Mirror of the reference lease upsert: one doc per source id, LWW
+        (cosmos.ts:91-105), plus an append-only history for audit."""
+        os.makedirs(self.lease_dir, exist_ok=True)
+        hist = os.path.join(self.lease_dir, f"batch_{lease['batch_id']}.json")
+        cur_tmp = os.path.join(self.lease_dir, "_current.tmp")
+        cur = os.path.join(self.lease_dir, f"{self.cfg.lease_prefix}.json")
+        payload = json.dumps(lease, default=str, indent=1)
+        with open(hist, "w") as f:
+            f.write(payload)
+        with open(cur_tmp, "w") as f:
+            f.write(payload)
+        os.replace(cur_tmp, cur)  # atomic LWW upsert on id
+
+    def current_lease(self) -> dict | None:
+        cur = os.path.join(self.lease_dir, f"{self.cfg.lease_prefix}.json")
+        if not os.path.exists(cur):
+            return None
+        with open(cur) as f:
+            return json.load(f)
+
+    # -- apply ----------------------------------------------------------------
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> dict:
+        """foreachBatch body: prepare → merge (idempotent) → lease."""
+        prepared = prepare_batch(batch_df, self.cfg, self.use_pandas_udfs)
+        if not self.table.exists():
+            # CREATE TABLE IF NOT EXISTS semantics (reference getOrCreateMongoCollection,
+            # /root/reference/src/capturer/mongo/utils.ts:51-70): payload schema =
+            # prepared minus the seq/op control columns
+            from pyspark.sql import types as T
+            payload = [f for f in prepared.schema.fields if f.name not in ("seq", "op")]
+            self.table.create(T.StructType(payload))
+        lineage = None
+        if self.collect_lineage:
+            # per-input-partition seq ranges (north_star lineage); one small agg job
+            lineage = [
+                {"partition": int(r["p"]), "first_seq": int(r["lo"]),
+                 "last_seq": int(r["hi"]), "rows": int(r["n"])}
+                for r in batch_df.groupBy(F.spark_partition_id().alias("p"))
+                .agg(F.min("seq").alias("lo"), F.max("seq").alias("hi"),
+                     F.count(F.lit(1)).alias("n"))
+                .collect()
+            ]
+        result = self.table.merge(
+            prepared,
+            seq_col="seq",
+            op_col="op",
+            batch_id=batch_id,
+            source_id=self.source_id,
+            tiebreakers=["token"],
+            lineage=lineage,
+        )
+        if not result.get("skipped"):
+            lease = self.table.lease()
+            self._write_lease(lease)
+        return result
+
+    # -- run ------------------------------------------------------------------
+
+    def run_stream(
+        self,
+        max_files_per_trigger: int | None = None,
+        timeout_sec: float | None = None,
+    ) -> None:
+        """Bounded streaming run: availableNow drains everything new since the
+        checkpoint then stops (reference closeStream timeout semantics,
+        mongo.ts:43-63, made deterministic)."""
+        stream = self.reader.read_stream(max_files_per_trigger)
+        query = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: self.apply_batch(df, bid) and None
+            )
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(timeout_sec) if timeout_sec else query.awaitTermination()
+
+    def run_batch(self, batch_id: int | str = "manual-0") -> dict:
+        """One-shot batch apply resuming after the last committed seq — the pull-loop
+        shape (cosmos.ts:51-112) without the streaming engine."""
+        lease = self.table.lease() if self.table.exists() else {}
+        after = int(lease["lease"]) if lease.get("lease") else None
+        batch = self.reader.read_batch(after_seq=after)
+        return self.apply_batch(batch, batch_id)

@@ -1,0 +1,37 @@
+import os
+import shutil
+import sys
+import tempfile
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from change_data_capturer_ms_spark.session import get_spark  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        app_name="cdc-tests",
+        master=os.environ.get("SPARK_TEST_MASTER", "local[4]"),
+        shuffle_partitions=8,
+        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "4g"},
+    )
+    yield s
+    s.stop()
+
+
+@pytest.fixture()
+def tmpdir_path():
+    d = tempfile.mkdtemp(prefix="cdc_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR
