@@ -1,38 +1,749 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: the engine's real MERGE-upsert path over sf0.001 events.
+queries()      — one entry per implemented operator (SURVEY.md §2.2 + training-data
+                 ops); each callable (spark, sf_dir) -> DataFrame.
+oracle_sql()   — DuckDB-ANSI twins; keys missing here get rows-only checks
+                 (only the genuinely non-SQL-expressible streaming entry).
+
+Column-name discipline: every computed column is aliased identically on both sides.
+All timestamps are exported as epoch seconds (BIGINT) to dodge tz/format drift;
+float aggregates are rounded on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from change_data_capturer_ms_spark.functions.hashing import custom_id
+from change_data_capturer_ms_spark.functions.hashing2 import (
+    MINHASH_P,
+    MINHASH_PERMS,
+    md5_long56_sql,
+    minhash_perm_sql,
+)
+from change_data_capturer_ms_spark.functions.classify import classify_op_builtin
+from change_data_capturer_ms_spark.lake.table import LakeTable
+from change_data_capturer_ms_spark.operators import (
+    brute_force_topk,
+    doc_fingerprint,
+    exact_dedup,
+    extract_media_features,
+    frame_sample,
+    lang_id_builtin,
+    lsh_topk,
+    lww_dedupe,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    quality_scores,
+    simhash,
+    synth_media,
+    token_count_bpe_ish,
+    token_count_ws,
+)
+from change_data_capturer_ms_spark.operators.similarity import embedding_near_dup_pairs
+
+_VER = "r1c"  # bump to invalidate cached temp tables when semantics change
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# CDC core over `events` (event_id = seq/LSN, user_id = document key,
+# event_type = op domain, props = post-image document)
+# ---------------------------------------------------------------------------
+
+def q_scan_projection(spark, sf_dir):
+    """E1/E3: source scan + column pruning (reference $project, mongo.ts:26-33)."""
+    return _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+
+
+def q_filter_predicate(spark, sf_dir):
+    """E2: op-type + range predicate pushed to the scan (reference $match,
+    mongo.ts:21-25)."""
+    e = _t(spark, sf_dir, "events")
+    return e.filter(
+        F.col("event_type").isin("click", "purchase") & (F.col("value") > 50.0)
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+def q_flatten_json(spark, sf_dir):
+    """E4: document flattening of the JSON post-image (north_star)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+def q_classify_op(spark, sf_dir):
+    """E5: op classification (builtin CASE twin of the pandas UDF; the UDF is
+    asserted equal in tests/test_functions.py). Reference hardcodes 'insert'
+    (mongoCDCService.ts:29-33)."""
+    e = _t(spark, sf_dir, "events")
+    cls = (
+        F.when(F.col("event_type").isin("purchase", "signup"), "conversion")
+        .when(F.col("event_type").isin("click", "view"), "engagement")
+        .otherwise("error")
+    )
+    return e.select("event_id", "event_type", cls.alias("op_class"))
+
+
+def q_lww_dedupe(spark, sf_dir):
+    """E6: last-writer-wins per key by monotonic seq (engine lww_dedupe max_by)."""
+    e = _t(spark, sf_dir, "events")
+    d = lww_dedupe(e, keys=["user_id"], seq_col="ts", tiebreakers=["event_id"])
+    return d.select("user_id", "event_id", "event_type", "value")
+
+
+def q_merge_upsert(spark, sf_dir):
+    """E7: the real lake MERGE — two micro-batches applied through LakeTable
+    (error events act as deletes); final state must equal the single-pass oracle."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/cdc_q_merge_{_VER}_{tag}"
+    table = LakeTable(spark, path, key_cols=["user_id"], n_buckets=8)
+    if not table.exists():
+        e = _t(spark, sf_dir, "events").withColumn(
+            "op",
+            F.when(F.col("event_type") == "error", "delete").otherwise("insert"),
+        ).withColumnRenamed("event_id", "seq").drop("props", "ts")
+        mid = e.agg(F.expr("percentile_approx(seq, 0.5)")).collect()[0][0]
+        payload = [f for f in e.schema.fields if f.name not in ("seq", "op")]
+        table.create(T.StructType(payload))
+        table.merge(e.filter(F.col("seq") <= mid), batch_id=0)
+        table.merge(e.filter(F.col("seq") > mid), batch_id=1)
+    out = table.read()
+    return out.select(
+        "user_id", F.col("_last_seq").alias("event_id"), "event_type", "value"
+    )
+
+
+def q_join_broadcast(spark, sf_dir):
+    """E8: broadcast equi-join (small dim vs fact) + agg."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def q_join_multiway(spark, sf_dir):
+    """E8: 3-way join lineitem ⋈ orders ⋈ customer, revenue per nation."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_join_semi(spark, sf_dir):
+    """E8: left-semi (affected-key pruning primitive of the MERGE fast path)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_join_anti(spark, sf_dir):
+    """E8: left-anti (not-matched detection)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_nationkey"
+    )
+
+
+def q_join_outer(spark, sf_dir):
+    """E8: left outer join preserving unmatched keys."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+def q_agg_pricing_summary(spark, sf_dir):
+    """E9: TPC-H Q1-shaped hash aggregation with partial/final phases."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_agg_distinct(spark, sf_dir):
+    """E9: exact distinct aggregation."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def q_rollup_metrics(spark, sf_dir):
+    """E10: rollup for metrics reporting."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+def q_topk_orders(spark, sf_dir):
+    """E11: global top-k with deterministic tiebreak."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def q_set_except(spark, sf_dir):
+    """E12: set difference (verification-diff primitive)."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clicks.exceptAll(buys)
+
+
+def q_string_hash(spark, sf_dir):
+    """E13: content hashing + string fns (the sha256 verification invariant,
+    BASELINE.json input_hint)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+        F.length("text").alias("text_len"),
+        F.upper(F.substring("text", 1, 12)).alias("head_upper"),
+        F.concat_ws("::", "source", "lang").alias("src_lang"),
+    )
+
+
+def q_custom_id(spark, sf_dir):
+    """S7 parity: generateCustomId space→dash munge (cosmos.ts:40-45)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", custom_id("source", prefix="cdc data lease ").alias("cid"))
+
+
+def q_datetime_bucket(spark, sf_dir):
+    """E14: event-time bucketing (epoch seconds to avoid tz/format drift)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch"))
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def q_math_funcs(spark, sf_dir):
+    """E15: arithmetic / rounding / abs / modulo."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+        ).alias("sum_charge"),
+        F.round(F.avg(F.abs(F.col("l_discount") - 0.05)), 4).alias("avg_disc_dev"),
+        F.sum(F.when(F.pmod(F.col("l_orderkey"), 7) == 3, 1).otherwise(0)).alias("n_mod7"),
+    )
+
+
+def q_array_wordcount(spark, sf_dir):
+    """E16: array explode + count (top words)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(20)
+    )
+
+
+def q_window_tumbling(spark, sf_dir):
+    """E19: tumbling event-time window (30 min), exported as epoch seconds."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.unix_timestamp(F.col("w.start")).alias("win_epoch"), "n", "sum_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return minhash_signatures_q(_t(spark, sf_dir, "documents"))
+
+
+def minhash_signatures_q(df):
+    from change_data_capturer_ms_spark.operators import minhash_signatures
+    return minhash_signatures(df)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), bands=4, min_est=0.5)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return simhash(_t(spark, sf_dir, "documents"), bits=16)
+
+
+def q_embed_knn_brute(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return brute_force_topk(emb, queries, k=5)
+
+
+def q_embed_lsh_ann(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return lsh_topk(emb, queries, k=5, bits=4)
+
+
+def q_embed_near_dup(spark, sf_dir):
+    return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3, bits=4)
+
+
+def q_text_quality(spark, sf_dir):
+    return quality_scores(_t(spark, sf_dir, "documents"))
+
+
+def q_text_langid(spark, sf_dir):
+    return lang_id_builtin(_t(spark, sf_dir, "documents"))
+
+
+def q_token_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_ws("text").alias("n_ws_tokens"),
+        token_count_bpe_ish("text").alias("n_bpe_tokens"),
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return doc_fingerprint(_t(spark, sf_dir, "documents"), n=4)
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Binary-column plumbing: synth payloads → mapInPandas feature extraction
+    (deterministic fake decode; real decode is the stubbed seam)."""
+    media = synth_media(_t(spark, sf_dir, "documents"))
+    return extract_media_features(media)
+
+
+def q_frame_sample(spark, sf_dir):
+    media = synth_media(_t(spark, sf_dir, "documents"))
+    feats = extract_media_features(media)
+    return frame_sample(feats, every_n=10)
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible: the full streaming pipeline (rows-only check)
+# ---------------------------------------------------------------------------
+
+def q_cdc_streaming_state(spark, sf_dir):
+    """E18/E21: full Structured Streaming run (checkpointed foreachBatch MERGE with
+    exactly-once ledger) over a deterministic synthetic change log; returns the
+    final table state. Not SQL-expressible (stateful streaming) → rows-only."""
+    from change_data_capturer_ms_spark.config import EngineConfig
+    from change_data_capturer_ms_spark.sources import gen_changelog, write_changelog
+    from change_data_capturer_ms_spark.streaming import CDCPipeline
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = f"/tmp/cdc_q_stream_{_VER}_{tag}"
+    table = LakeTable(spark, f"{base}/table", key_cols=["repo", "path"], n_buckets=8)
+    if not table.exists():
+        log = gen_changelog(spark, 10_000, seed=5, n_repos=30, paths_per_repo=10)
+        write_changelog(log, f"{base}/log")
+        pipe = CDCPipeline(spark, f"{base}/log", table, f"{base}/ckpt",
+                           cfg=EngineConfig(n_buckets=8))
+        pipe.run_stream()
+    return table.read().select("repo", "path", "commit", "content_sha256", "_last_seq")
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the engine's MERGE-upsert state over sf0.001 events."""
+    return q_merge_upsert(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "scan_projection": q_scan_projection,
+        "filter_predicate": q_filter_predicate,
+        "flatten_json": q_flatten_json,
+        "classify_op": q_classify_op,
+        "lww_dedupe": q_lww_dedupe,
+        "merge_upsert": q_merge_upsert,
+        "join_broadcast": q_join_broadcast,
+        "join_multiway": q_join_multiway,
+        "join_semi": q_join_semi,
+        "join_anti": q_join_anti,
+        "join_outer": q_join_outer,
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "agg_distinct": q_agg_distinct,
+        "rollup_metrics": q_rollup_metrics,
+        "topk_orders": q_topk_orders,
+        "set_except": q_set_except,
+        "string_hash": q_string_hash,
+        "custom_id": q_custom_id,
+        "datetime_bucket": q_datetime_bucket,
+        "math_funcs": q_math_funcs,
+        "array_wordcount": q_array_wordcount,
+        "window_tumbling": q_window_tumbling,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "minhash_signatures": q_minhash_signatures,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "embed_knn_brute": q_embed_knn_brute,
+        "embed_lsh_ann": q_embed_lsh_ann,
+        "embed_near_dup": q_embed_near_dup,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "token_counts": q_token_counts,
+        "doc_fingerprint": q_doc_fingerprint,
+        "multimodal_meta": q_multimodal_meta,
+        "frame_sample": q_frame_sample,
+        "cdc_streaming_state": q_cdc_streaming_state,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# -- DuckDB oracles ----------------------------------------------------------
+
+_H = md5_long56_sql  # cross-engine 56-bit md5 hash (see functions/hashing2.py)
+
+_SHINGLES_CTE = """
+words AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+shingles AS (
+    SELECT DISTINCT doc_id, array_to_string(w[g : g + {nm1}], ' ') AS shingle
+    FROM (
+        SELECT doc_id, w, unnest(generate_series(1, len(w) - {nm1})) AS g
+        FROM words WHERE len(w) >= {n}
+    )
+)
+"""
+
+
+def _minhash_sig_sql() -> str:
+    h = _H("shingle")
+    mins = ",\n        ".join(
+        f"MIN({minhash_perm_sql(h, i)})::BIGINT AS mh{i}" for i in range(len(MINHASH_PERMS))
+    )
+    return (
+        "WITH " + _SHINGLES_CTE.format(n=3, nm1=2)
+        + f", sig AS (SELECT doc_id AS id,\n        {mins}\n    FROM shingles GROUP BY doc_id)"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    k = len(MINHASH_PERMS)
+    band_joins = []
+    for bidx in range(4):
+        cols = [f"mh{i}" for i in range(bidx * 2, bidx * 2 + 2)]
+        cond = " AND ".join(f"a.{c} = b.{c}" for c in cols)
+        band_joins.append(
+            f"SELECT a.id AS id_a, b.id AS id_b, "
+            + ", ".join(f"a.mh{i} AS a_mh{i}" for i in range(k)) + ", "
+            + ", ".join(f"b.mh{i} AS b_mh{i}" for i in range(k))
+            + f" FROM sig a JOIN sig b ON a.id < b.id AND {cond}"
+        )
+    lsh_union = " UNION ".join(band_joins)
+    agree = " + ".join(
+        f"CASE WHEN a_mh{i} = b_mh{i} THEN 1 ELSE 0 END" for i in range(k)
+    )
+
+    simhash_votes = ",\n            ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}" for j in range(16)
+    )
+    simhash_val = " + ".join(f"(CASE WHEN v{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(16))
+
+    stop_scores = []
+    from change_data_capturer_ms_spark.operators.text import LANG_STOPWORDS
+    for lang, stops in LANG_STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in stops)
+        stop_scores.append(
+            f"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+            f"x -> list_contains([{lst}], x)))::BIGINT AS score_{lang}"
+        )
+    langs = list(LANG_STOPWORDS)
+    lang_case = "CASE "
+    # first strictly-greater language in declared order wins (mirrors Spark expr)
+    prev = "0"
+    # build nested: evaluate in order, track best via GREATEST chain
+    # simpler exact mirror: recompute the fold
+    fold_lang, fold_score = "'und'", "0"
+    for lang in langs:
+        c = f"score_{lang}"
+        fold_lang = f"CASE WHEN {c} > ({fold_score}) THEN '{lang}' ELSE {fold_lang} END"
+        fold_score = f"CASE WHEN {c} > ({fold_score}) THEN {c} ELSE ({fold_score}) END"
+
+    bucket_sql = " + ".join(
+        f"(CASE WHEN embedding[{j * 4 + 1}]::DOUBLE > 0 THEN {2**j} ELSE 0 END)"
+        for j in range(4)
+    )
+
+    en = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+
+    return {
+        "scan_projection": "SELECT event_id, user_id, event_type FROM events",
+        "filter_predicate": (
+            "SELECT event_id, user_id, event_type, value FROM events "
+            "WHERE event_type IN ('click','purchase') AND value > 50.0"
+        ),
+        "flatten_json": (
+            "SELECT event_id, json_extract(props, '$.k')::INT AS k FROM events"
+        ),
+        "classify_op": (
+            "SELECT event_id, event_type, CASE "
+            "WHEN event_type IN ('purchase','signup') THEN 'conversion' "
+            "WHEN event_type IN ('click','view') THEN 'engagement' "
+            "ELSE 'error' END AS op_class FROM events"
+        ),
+        "lww_dedupe": (
+            "SELECT user_id, event_id, event_type, value FROM ("
+            "  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id "
+            "    ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1"
+        ),
+        "merge_upsert": (
+            "SELECT user_id, event_id, event_type, value FROM ("
+            "  SELECT user_id, event_id, event_type, value, ROW_NUMBER() OVER ("
+            "    PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events) "
+            "WHERE rn = 1 AND event_type <> 'error'"
+        ),
+        "join_broadcast": (
+            "SELECT c_mktsegment, COUNT(*)::BIGINT AS n_orders, "
+            "ROUND(SUM(o_totalprice), 2) AS total_price "
+            "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+        ),
+        "join_multiway": (
+            "SELECT c_nationkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+            "COUNT(*)::BIGINT AS n_lines "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey GROUP BY c_nationkey"
+        ),
+        "join_semi": (
+            "SELECT c_custkey, c_name FROM customer "
+            "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
+        ),
+        "join_anti": (
+            "SELECT c_custkey, c_nationkey FROM customer "
+            "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"
+        ),
+        "join_outer": (
+            "SELECT c_custkey, COUNT(o_orderkey)::BIGINT AS n_orders "
+            "FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey"
+        ),
+        "agg_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty, "
+            "ROUND(SUM(l_extendedprice), 2) AS sum_base_price, "
+            "ROUND(AVG(l_quantity), 4) AS avg_qty, COUNT(*)::BIGINT AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "agg_distinct": (
+            "SELECT event_type, COUNT(*)::BIGINT AS n_events, "
+            "COUNT(DISTINCT user_id)::BIGINT AS n_users, "
+            "ROUND(SUM(value), 2) AS sum_value FROM events GROUP BY event_type"
+        ),
+        "rollup_metrics": (
+            "SELECT o_orderstatus, o_orderpriority, COUNT(*)::BIGINT AS n_orders "
+            "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"
+        ),
+        "topk_orders": (
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "set_except": (
+            "SELECT DISTINCT user_id FROM events WHERE event_type = 'click' "
+            "EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'"
+        ),
+        "string_hash": (
+            "SELECT doc_id, sha256(text) AS text_sha256, LENGTH(text)::INT AS text_len, "
+            "UPPER(SUBSTR(text, 1, 12)) AS head_upper, "
+            "CONCAT_WS('::', source, lang) AS src_lang FROM documents"
+        ),
+        "custom_id": (
+            "SELECT doc_id, REPLACE('cdc data lease ', ' ', '-') || "
+            "REPLACE(source, ' ', '-') AS cid FROM documents"
+        ),
+        "datetime_bucket": (
+            "SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch, "
+            "COUNT(*)::BIGINT AS n, COUNT(DISTINCT user_id)::BIGINT AS n_users "
+            "FROM events GROUP BY 1"
+        ),
+        "math_funcs": (
+            "SELECT l_returnflag, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, "
+            "ROUND(AVG(ABS(l_discount - 0.05)), 4) AS avg_disc_dev, "
+            "SUM(CASE WHEN l_orderkey % 7 = 3 THEN 1 ELSE 0 END)::BIGINT AS n_mod7 "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "array_wordcount": (
+            "SELECT word, COUNT(*)::BIGINT AS n FROM ("
+            "  SELECT unnest(string_split(text, ' ')) AS word FROM documents) "
+            "WHERE word <> '' GROUP BY word ORDER BY n DESC, word LIMIT 20"
+        ),
+        "window_tumbling": (
+            # epoch_us, not epoch(ts)::BIGINT — the latter ROUNDS sub-second parts
+            "SELECT (epoch_us(ts) // 1800000000) * 1800 AS win_epoch, "
+            "COUNT(*)::BIGINT AS n, ROUND(SUM(value), 2) AS sum_value "
+            "FROM events GROUP BY 1"
+        ),
+        "dedup_exact": (
+            "SELECT sha256(text) AS text_sha256, MIN(doc_id)::BIGINT AS canonical_id, "
+            "COUNT(*)::BIGINT AS n_dups FROM documents GROUP BY 1"
+        ),
+        "dedup_ngram_jaccard": (
+            "WITH " + _SHINGLES_CTE.format(n=3, nm1=2) + ", "
+            "sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id), "
+            "shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared "
+            "  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+            "  GROUP BY 1, 2) "
+            "SELECT id_a, id_b, shared::BIGINT AS shared, "
+            "ROUND(shared / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard "
+            "FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+            "WHERE ROUND(shared / (sa.n_sh + sb.n_sh - shared), 6) >= 0.5"
+        ),
+        "minhash_signatures": _minhash_sig_sql() + " SELECT * FROM sig",
+        "dedup_minhash_lsh": (
+            _minhash_sig_sql()
+            + f", cand AS ({lsh_union}) "
+            + f"SELECT id_a, id_b, ROUND(({agree}) / {float(k)}, 6) AS est_jaccard "
+            + f"FROM cand WHERE ROUND(({agree}) / {float(k)}, 6) >= 0.5"
+        ),
+        "dedup_simhash": (
+            "WITH tok AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w FROM documents), "
+            f"hashed AS (SELECT id, {_H('w')} AS h FROM tok WHERE w <> ''), "
+            f"votes AS (SELECT id,\n            {simhash_votes}\n        FROM hashed GROUP BY id) "
+            f"SELECT id, ({simhash_val})::BIGINT AS simhash FROM votes"
+        ),
+        "embed_knn_brute": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "
+            "  FROM embeddings WHERE vec_id < 3), "
+            "c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings), "
+            "scored AS (SELECT query_id, neighbor_id, "
+            "  list_cosine_similarity(qv, cv) AS cos_raw FROM c, q "
+            "  WHERE neighbor_id <> query_id) "
+            "SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine, rank FROM ("
+            "  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+            "    ORDER BY cos_raw DESC, neighbor_id) AS rank FROM scored) WHERE rank <= 5"
+        ),
+        "embed_lsh_ann": (
+            f"WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v, ({bucket_sql})::INT AS bucket "
+            "  FROM embeddings), "
+            "q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 3), "
+            "scored AS (SELECT query_id, b.vec_id AS neighbor_id, b.bucket, "
+            "  list_cosine_similarity(qv, b.v) AS cos_raw "
+            "  FROM b JOIN q USING (bucket) WHERE b.vec_id <> query_id) "
+            "SELECT query_id, neighbor_id, bucket, ROUND(cos_raw, 6) AS cosine, rank FROM ("
+            "  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+            "    ORDER BY cos_raw DESC, neighbor_id) AS rank FROM scored) WHERE rank <= 5"
+        ),
+        "embed_near_dup": (
+            f"WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v, ({bucket_sql})::INT AS bucket "
+            "  FROM embeddings) "
+            "SELECT a.vec_id AS id_a, bb.vec_id AS id_b, "
+            "ROUND(list_cosine_similarity(a.v, bb.v), 6) AS cosine "
+            "FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id "
+            "WHERE ROUND(list_cosine_similarity(a.v, bb.v), 6) >= 0.3"
+        ),
+        "text_quality": (
+            "SELECT doc_id, LENGTH(text)::INT AS n_chars_m, "
+            "len(regexp_split_to_array(trim(text), '\\s+'))::INT AS n_tokens, "
+            "len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))::INT AS n_subtokens, "
+            "ROUND(LENGTH(text) / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS mean_tok_len, "
+            f"ROUND(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+            f"  x -> list_contains([{en}], x))) "
+            "  / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS stopword_ratio, "
+            "ROUND(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) "
+            "  / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS distinct_ratio "
+            "FROM documents"
+        ),
+        "text_langid": (
+            "SELECT doc_id, " + ", ".join(stop_scores) + ", "
+            f"({fold_lang}) AS lang_guess FROM documents"
+        ),
+        "token_counts": (
+            "SELECT doc_id, "
+            "len(regexp_split_to_array(trim(text), '\\s+'))::INT AS n_ws_tokens, "
+            "len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))::INT AS n_bpe_tokens "
+            "FROM documents"
+        ),
+        "doc_fingerprint": (
+            "WITH " + _SHINGLES_CTE.format(n=4, nm1=3) + " "
+            f"SELECT doc_id AS id, MIN({_H('shingle')})::BIGINT AS fp_min, "
+            f"MAX({_H('shingle')})::BIGINT AS fp_max, COUNT(*)::BIGINT AS n_shingles "
+            "FROM shingles GROUP BY doc_id"
+        ),
+        "multimodal_meta": (
+            "SELECT doc_id AS media_id, "
+            "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, "
+            "octet_length(encode(text))::BIGINT AS n_bytes, sha256(text) AS payload_sha256, "
+            "CASE WHEN doc_id % 3 IN (0, 2) THEN "
+            "  (16 + ('0x' || substr(sha256(text), 1, 2))::INT % 240)::INT END AS width, "
+            "CASE WHEN doc_id % 3 IN (0, 2) THEN "
+            "  (16 + ('0x' || substr(sha256(text), 3, 2))::INT % 240)::INT END AS height, "
+            "CASE WHEN doc_id % 3 = 0 THEN 1 "
+            "  ELSE (1 + ('0x' || substr(sha256(text), 5, 2))::INT % 300)::INT END AS n_frames "
+            "FROM documents"
+        ),
+        "frame_sample": (
+            "WITH feats AS (SELECT doc_id AS media_id, "
+            "  (1 + ('0x' || substr(sha256(text), 5, 2))::INT % 300) AS n_frames "
+            "  FROM documents WHERE doc_id % 3 = 2) "
+            "SELECT media_id, g::INT AS frame_idx FROM ("
+            "  SELECT media_id, unnest(generate_series(0, n_frames - 1, 10)) AS g FROM feats)"
+        ),
+        # cdc_streaming_state: intentionally omitted — stateful Structured Streaming
+        # with checkpoint + exactly-once ledger is not expressible as a single
+        # DuckDB query; driver records the rows-only check.
+    }

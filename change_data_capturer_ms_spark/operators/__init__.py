@@ -3,5 +3,41 @@ from change_data_capturer_ms_spark.operators.dedupe import (
     lww_dedupe_window,
     salted_repartition,
 )
+from change_data_capturer_ms_spark.operators.dedup_docs import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_dup_pairs,
+    word_shingles,
+)
+from change_data_capturer_ms_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_sim,
+    embedding_near_dup_pairs,
+    lsh_topk,
+)
+from change_data_capturer_ms_spark.operators.text import (
+    doc_fingerprint,
+    lang_id_builtin,
+    lang_id_pandas,
+    quality_scores,
+    token_count_bpe_ish,
+    token_count_ws,
+)
+from change_data_capturer_ms_spark.operators.multimodal import (
+    extract_media_features,
+    frame_sample,
+    synth_media,
+)
 
-__all__ = ["lww_dedupe", "lww_dedupe_window", "salted_repartition"]
+__all__ = [
+    "lww_dedupe", "lww_dedupe_window", "salted_repartition",
+    "exact_dedup", "minhash_lsh_pairs", "minhash_signatures",
+    "ngram_jaccard_pairs", "simhash", "simhash_dup_pairs", "word_shingles",
+    "brute_force_topk", "cosine_sim", "embedding_near_dup_pairs", "lsh_topk",
+    "doc_fingerprint", "lang_id_builtin", "lang_id_pandas", "quality_scores",
+    "token_count_bpe_ish", "token_count_ws",
+    "extract_media_features", "frame_sample", "synth_media",
+]

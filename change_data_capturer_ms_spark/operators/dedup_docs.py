@@ -1,0 +1,189 @@
+"""Document deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), n-gram Jaccard, MinHash+LSH, and SimHash — all pure DataFrame
+compositions (no Python in the hot path), designed around the shuffles they imply:
+
+- exact_dedup: one hash aggregation on sha256(text); map-side combine applies.
+- shingle explode → self-join is the quadratic danger at 100 TB; the LSH variants
+  bound it: MinHash signatures are one aggregation, candidate pairs come from
+  banded-bucket joins (only same-bucket docs meet), never an all-pairs join.
+- All token hashes are md5-derived (`functions.hashing2`) so results are
+  re-derivable by the DuckDB oracle — no engine-private hash leaves the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from change_data_capturer_ms_spark.functions.hashing2 import (
+    MINHASH_PERMS,
+    md5_long56,
+    minhash_perm,
+)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: canonical (min) id + count per sha256(text).
+
+    Scale: a single hash aggregation; the sha256 is computed map-side so the shuffle
+    key is 64 hex chars, not the document body.
+    """
+    return (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("text_sha256"))
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def word_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle). Docs shorter than n
+    words produce no shingles."""
+    words = F.split(F.col(text_col), " ")
+    starts = F.sequence(F.lit(0), F.size(words) - n)
+    sh = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    return (
+        df.filter(F.size(words) >= n)
+        .select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """All pairs with word-n-gram Jaccard ≥ threshold (id_a < id_b).
+
+    Plan shape: shingle explode → equi-join on shingle (co-partitioned by shingle
+    hash) → pair aggregation → broadcast join of per-doc shingle counts. The
+    shingle join only meets docs sharing ≥1 shingle — far from all-pairs — but a
+    stop-shingle shared by many docs still fans out; production adds a document
+    frequency cap on shingles (see minhash_lsh_pairs for the sublinear path).
+    """
+    sh = word_shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = (
+        shared.join(F.broadcast(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a")), "id_a")
+        .join(F.broadcast(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "shared", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """MinHash signature per doc: columns mh0..mh{k-1} (k = len(MINHASH_PERMS)).
+
+    One aggregation over exploded shingles; each min is partially aggregated
+    map-side, so shuffle volume is docs × k longs regardless of shingle count.
+    """
+    sh = word_shingles(df, text_col, id_col, n)
+    h = md5_long56(F.col("shingle"))
+    aggs = [F.min(minhash_perm(h, i)).alias(f"mh{i}") for i in range(len(MINHASH_PERMS))]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_est: float = 0.0,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH + estimated similarity.
+
+    Signature of k hashes split into `bands` bands of k/bands rows; docs colliding
+    on any full band become candidates (the classic S-curve selectivity). The only
+    joins are per-band self-equi-joins on the band key — at scale each bucket is
+    tiny, so the pair fan-out is near-linear in true duplicates.
+
+    est_jaccard = fraction of signature positions agreeing (unbiased MinHash
+    estimator), rounded for cross-engine comparability.
+    """
+    k = len(MINHASH_PERMS)
+    assert k % bands == 0
+    rows = k // bands
+    sig = minhash_signatures(df, text_col, id_col, n)
+    cand = None
+    for bidx in range(bands):
+        cols = [f"mh{i}" for i in range(bidx * rows, (bidx + 1) * rows)]
+        a = sig.alias("a")
+        b = sig.alias("b")
+        cond = (F.col("a.id") < F.col("b.id"))
+        for c in cols:
+            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        pairs = a.join(b, cond).select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            *[F.col(f"a.mh{i}").alias(f"a_mh{i}") for i in range(k)],
+            *[F.col(f"b.mh{i}").alias(f"b_mh{i}") for i in range(k)],
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.dropDuplicates(["id_a", "id_b"])
+    agree = sum(
+        F.when(F.col(f"a_mh{i}") == F.col(f"b_mh{i}"), 1).otherwise(0) for i in range(k)
+    )
+    out = cand.withColumn("est_jaccard", F.round(agree / F.lit(float(k)), 6)).filter(
+        F.col("est_jaccard") >= min_est
+    )
+    return out.select("id_a", "id_b", "est_jaccard")
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """Per-doc SimHash over word hashes (bit j set iff sum of ±1 votes > 0).
+
+    Bag-of-words semantics (duplicate words vote multiple times). One explode +
+    one aggregation; the `bits` conditional sums all partial-aggregate map-side.
+    """
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    h = md5_long56(F.col("w"))
+    words = words.withColumn("h", h)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    agg = words.groupBy("id").agg(*votes)
+    sim = None
+    for j in range(bits):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return agg.select("id", sim.cast("long").alias("simhash"))
+
+
+def simhash_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      bits: int = 16) -> DataFrame:
+    """Near-dup candidates = exact SimHash collisions (hamming distance 0 at the
+    chosen bit width; production widens to banded hamming-≤k buckets)."""
+    s = simhash(df, text_col, id_col, bits)
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(b, (F.col("a.simhash") == F.col("b.simhash")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.simhash").alias("simhash"))
+    )

@@ -1,0 +1,119 @@
+"""Text analysis operators for training-data pipelines: token counting, quality
+scoring, n-gram language ID, document fingerprinting.
+
+Everything is builtin-expression (codegen) except `lang_id_pandas`, the
+Arrow-batched UDF variant kept for parity with the engine's mandated UDF surface.
+All are single-pass projections or one aggregation — no joins, no state.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+from change_data_capturer_ms_spark.functions.hashing2 import md5_long56
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic language ID.
+# The sandbox documents are synthetic word soup, so this doubles as a deterministic
+# scoring function; real deployments plug in a fastText-style model via the same
+# pandas-UDF seam.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to"],
+    "es": ["el", "la", "de", "y", "que"],
+    "de": ["der", "die", "und", "das", "ein"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "zh": ["de", "shi", "le", "bu", "wo"],
+}
+
+
+def token_count_ws(col: str | Column) -> Column:
+    """Whitespace token count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.split(F.trim(c), r"\s+"))
+
+
+def token_count_bpe_ish(col: str | Column) -> Column:
+    """BPE-ish subword proxy: alnum runs + punctuation marks each count as a token
+    (regex split on boundaries) — a deterministic stand-in for a real tokenizer."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0))
+
+
+def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality features: length, token counts, mean token length,
+    stopword ratio (en), distinct-token ratio."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_tok = F.size(words)
+    stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop, w)))
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars_m"),
+        n_tok.alias("n_tokens"),
+        token_count_bpe_ish(text_col).alias("n_subtokens"),
+        F.round(F.length(text_col) / n_tok, 4).alias("mean_tok_len"),
+        F.round(n_stop / n_tok, 4).alias("stopword_ratio"),
+        F.round(F.size(F.array_distinct(words)) / n_tok, 4).alias("distinct_ratio"),
+    )
+
+
+def lang_id_builtin(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: argmax over per-language stopword hit counts, with a
+    deterministic tiebreak (language order); 'und' when nothing matches. Pure
+    expressions — and exactly re-expressible in oracle SQL."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    scores = []
+    for lang, stops in LANG_STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in stops])
+        scores.append((lang, F.size(F.filter(words, lambda w: F.array_contains(arr, w)))))
+    out = df.select(F.col(id_col), *[s.alias(f"score_{lang}") for lang, s in scores])
+    # strict > in declared order ⇒ first-listed language wins ties (deterministic)
+    expr_lang = F.lit("und")
+    expr_score = F.lit(0)
+    for lang, _ in scores:
+        c = F.col(f"score_{lang}")
+        take = c > expr_score
+        expr_lang = F.when(take, F.lit(lang)).otherwise(expr_lang)
+        expr_score = F.when(take, c).otherwise(expr_score)
+    return out.withColumn("lang_guess", expr_lang).select(
+        id_col, *[f"score_{lang}" for lang in LANG_STOPWORDS], "lang_guess"
+    )
+
+
+@pandas_udf(StringType())
+def _langid_pd(text: pd.Series) -> pd.Series:
+    def guess(t: str | None) -> str:
+        if not t:
+            return "und"
+        words = t.split()
+        best, best_score = "und", 0
+        for lang, stops in LANG_STOPWORDS.items():
+            s = sum(1 for w in words if w in stops)
+            if s > best_score:
+                best, best_score = lang, s
+        return best
+    return text.map(guess)
+
+
+def lang_id_pandas(col: str | Column) -> Column:
+    """Arrow-batched UDF variant of lang_id (the seam where a real model plugs in)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return _langid_pd(c)
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                    n: int = 4) -> DataFrame:
+    """Rolling-hash document fingerprint: min & max md5-56 hash over word n-grams
+    (a 2-sketch winnowing stand-in) + shingle count. One explode + one agg."""
+    from change_data_capturer_ms_spark.operators.dedup_docs import word_shingles
+
+    sh = word_shingles(df, text_col, id_col, n)
+    h = md5_long56(F.col("shingle"))
+    return sh.groupBy("id").agg(
+        F.min(h).alias("fp_min"),
+        F.max(h).alias("fp_max"),
+        F.count(F.lit(1)).alias("n_shingles"),
+    )

@@ -1,0 +1,103 @@
+"""UDF-vs-builtin parity + operator unit tests for the functions/operators layer."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from change_data_capturer_ms_spark.functions.classify import (
+    classify_op_builtin,
+    classify_op_pandas,
+)
+from change_data_capturer_ms_spark.functions.flatten import flatten_json_col
+from change_data_capturer_ms_spark.functions.hashing import (
+    content_sha256_builtin,
+    content_sha256_pandas,
+    custom_id,
+)
+from change_data_capturer_ms_spark.operators.multimodal import (
+    extract_media_features,
+    frame_sample,
+    synth_media,
+)
+from change_data_capturer_ms_spark.operators.text import lang_id_builtin, lang_id_pandas
+
+
+def test_sha256_pandas_equals_builtin(spark):
+    df = spark.createDataFrame(
+        [("hello",), ("",), (None,), ("unicode ✓ Ω",)], "content string"
+    )
+    out = df.select(
+        content_sha256_builtin("content").alias("a"),
+        content_sha256_pandas("content").alias("b"),
+    ).collect()
+    for r in out:
+        assert r["a"] == r["b"]
+
+
+def test_classify_pandas_equals_builtin(spark):
+    df = spark.createDataFrame(
+        [("insert",), ("update",), ("replace",), ("delete",), ("weird",)], "op string"
+    )
+    out = df.select(
+        classify_op_builtin("op").alias("a"), classify_op_pandas("op").alias("b")
+    ).collect()
+    for r in out:
+        assert r["a"] == r["b"]
+    mapping = {r["op"]: r["a"] for r in df.select("op", classify_op_builtin("op").alias("a")).collect()}
+    assert mapping == {"insert": "upsert", "update": "upsert", "replace": "upsert",
+                       "delete": "delete", "weird": "unknown"}
+
+
+def test_custom_id_reference_parity(spark):
+    """generateCustomId: `${prefix.replace(' ','-')}${id.replace(' ','-')}`
+    (/root/reference/src/capturer/cosmos/cosmos.ts:40-45)."""
+    df = spark.createDataFrame([("my collection",)], "id string")
+    r = df.select(custom_id("id", prefix="cdc data lease ").alias("cid")).first()
+    assert r["cid"] == "cdc-data-lease-my-collection"
+
+
+def test_flatten_json(spark):
+    df = spark.createDataFrame(
+        [('{"size_bytes": 10, "origin": "ci", "is_pr": true}',), (None,)],
+        "props string",
+    )
+    out = flatten_json_col(df).collect()
+    assert out[0]["size_bytes"] == 10 and out[0]["origin"] == "ci" and out[0]["is_pr"]
+    assert out[1]["size_bytes"] is None
+
+
+def test_langid_pandas_equals_builtin(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of war"), (2, "el que la de y"),
+         (3, "xyzzy plugh"), (4, "der und das ein die")],
+        "doc_id long, text string",
+    )
+    a = {r["doc_id"]: r["lang_guess"] for r in lang_id_builtin(df).collect()}
+    b = {r["doc_id"]: r["g"] for r in df.select("doc_id", lang_id_pandas("text").alias("g")).collect()}
+    assert a == b
+    assert a[1] == "en" and a[2] == "es" and a[3] == "und" and a[4] == "de"
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(0, "image payload"), (1, "audio payload"), (2, "video payload")],
+        "doc_id long, text string",
+    )
+    media = synth_media(docs)
+    assert dict(media.dtypes)["payload"] == "binary"
+    feats = extract_media_features(media).orderBy("media_id").collect()
+    assert [f["kind"] for f in feats] == ["image", "audio", "video"]
+    assert feats[0]["n_frames"] == 1 and feats[0]["width"] is not None
+    assert feats[1]["width"] is None  # audio has no dims
+    assert feats[2]["n_frames"] >= 1
+    import hashlib
+    assert feats[0]["payload_sha256"] == hashlib.sha256(b"image payload").hexdigest()
+
+    frames = frame_sample(spark.createDataFrame(feats), every_n=10)
+    n = frames.count()
+    assert n == sum(1 + (f["n_frames"] - 1) // 10 for f in feats if f["kind"] == "video")
+
+
+def test_real_decode_is_explicitly_stubbed(spark):
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        extract_media_features(synth_media(docs), use_real_decode=True).collect()

@@ -1,0 +1,206 @@
+"""CDC invariant tests mirroring the reference's integration spec (SURVEY.md §5.2):
+lease lifecycle, resume, exactly-once, schema evolution, skew, crash safety."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from change_data_capturer_ms_spark.config import EngineConfig
+from change_data_capturer_ms_spark.errors import ConfigError, MissingResourceError
+from change_data_capturer_ms_spark.lake.table import LakeTable
+from change_data_capturer_ms_spark.operators.dedupe import (
+    lww_dedupe,
+    lww_dedupe_window,
+    salted_repartition,
+)
+from change_data_capturer_ms_spark.sources.changelog import gen_changelog, write_changelog
+from change_data_capturer_ms_spark.streaming.pipeline import CDCPipeline, prepare_batch
+
+CFG = EngineConfig(n_buckets=8)
+
+
+def _pipe(spark, tmpdir_path, sub=""):
+    base = os.path.join(tmpdir_path, sub) if sub else tmpdir_path
+    table = LakeTable(spark, f"{base}/table", key_cols=["repo", "path"], n_buckets=8)
+    return CDCPipeline(spark, f"{base}/log", table, f"{base}/ckpt", cfg=CFG,
+                       use_pandas_udfs=False), f"{base}/log"
+
+
+def _state(table):
+    return (
+        table.read()
+        .select("repo", "path", "content_sha256", "_last_seq")
+        .orderBy("repo", "path")
+        .toPandas()
+    )
+
+
+class TestLeaseLifecycle:
+    """The reference's three behavioral invariants
+    (__integrations__/__tests__/system/mongo/mongocdcservice.test.ts:136-346)."""
+
+    def test_fresh_run_stores_lease_then_resume_semantics(self, spark, tmpdir_path):
+        pipe, log_dir = _pipe(spark, tmpdir_path)
+        write_changelog(gen_changelog(spark, 2000, seed=1, n_repos=10, paths_per_repo=5), log_dir)
+
+        # (a) fresh run creates the lease with a token after events are processed
+        pipe.run_stream()
+        lease = pipe.current_lease()
+        assert lease is not None and lease["id"] == "changelog"
+        assert int(lease["lease"]) == 1999
+        assert lease["metrics"]["rows"] > 0
+        assert lease["lineage"], "per-partition lineage must be recorded"
+
+        # (b) re-run with no new events → token unchanged
+        pipe.run_stream()
+        assert pipe.current_lease()["lease"] == lease["lease"]
+
+        # (c) new events → token advances
+        write_changelog(
+            gen_changelog(spark, 500, seed=1, n_repos=10, paths_per_repo=5, start_seq=2000),
+            log_dir,
+        )
+        pipe.run_stream()
+        assert int(pipe.current_lease()["lease"]) == 2499
+
+    def test_split_run_converges_to_single_run(self, spark, tmpdir_path):
+        """Resume invariant (iv): checkpoint split at any point reconverges."""
+        full = gen_changelog(spark, 3000, seed=2, n_repos=12, paths_per_repo=6)
+
+        pipe1, log1 = _pipe(spark, tmpdir_path, "a")
+        write_changelog(full, log1)
+        pipe1.run_stream()
+
+        pipe2, log2 = _pipe(spark, tmpdir_path, "b")
+        write_changelog(full.filter(F.col("seq") < 1200), log2)
+        pipe2.run_stream()
+        write_changelog(full.filter(F.col("seq") >= 1200), log2)
+        pipe2.run_stream()  # resumes from checkpoint, sees only new files
+
+        s1, s2 = _state(pipe1.table), _state(pipe2.table)
+        assert list(s1["content_sha256"]) == list(s2["content_sha256"])
+        assert list(s1["_last_seq"]) == list(s2["_last_seq"])
+
+
+class TestExactlyOnce:
+    def test_double_apply_is_noop(self, spark, tmpdir_path):
+        pipe, log_dir = _pipe(spark, tmpdir_path)
+        write_changelog(gen_changelog(spark, 1500, seed=3), log_dir)
+        batch = pipe.reader.read_batch()
+        pipe.apply_batch(batch, batch_id=7)
+        v = pipe.table.manifest().version
+        s1 = _state(pipe.table)
+        res = pipe.apply_batch(batch, batch_id=7)  # re-delivery
+        assert res["skipped"]
+        assert pipe.table.manifest().version == v
+        assert _state(pipe.table).equals(s1)
+
+    def test_crash_between_data_write_and_pointer_swap(self, spark, tmpdir_path):
+        """Orphan data files (crash before pointer swap) must not corrupt reads —
+        the manifest is the truth (SURVEY.md §7.3)."""
+        pipe, log_dir = _pipe(spark, tmpdir_path)
+        write_changelog(gen_changelog(spark, 1000, seed=4), log_dir)
+        pipe.apply_batch(pipe.reader.read_batch(), batch_id=0)
+        s1 = _state(pipe.table)
+
+        # simulate a crashed writer: stray data files + stray manifest, no pointer swap
+        stray = os.path.join(pipe.table.path, "data", "vORPHAN")
+        os.makedirs(stray)
+        with open(os.path.join(stray, "junk.parquet"), "w") as f:
+            f.write("not parquet")
+        m = pipe.table.manifest()
+        with open(os.path.join(pipe.table.path, "_meta", "v99.json"), "w") as f:
+            f.write(m.to_json())
+
+        assert _state(pipe.table).equals(s1)  # reads still snapshot-consistent
+
+    def test_concurrent_commit_detected(self, spark, tmpdir_path):
+        pipe, log_dir = _pipe(spark, tmpdir_path)
+        write_changelog(gen_changelog(spark, 500, seed=5), log_dir)
+        pipe.apply_batch(pipe.reader.read_batch(), batch_id=0)
+        m = pipe.table.store.load()
+        m.version += 1
+        with pytest.raises(RuntimeError, match="concurrent commit"):
+            pipe.table.store.commit(m, expected_parent=m.version + 5)
+
+
+class TestSchemaEvolution:
+    def test_additive_column_mid_stream(self, spark, tmpdir_path):
+        """E20: batch 2 carries a new `stars` column; old rows read NULL; MERGE
+        aligns schemas; manifest schema version bumps."""
+        pipe, log_dir = _pipe(spark, tmpdir_path)
+        old = gen_changelog(spark, 2000, seed=6, n_repos=40, paths_per_repo=10)
+        pipe.apply_batch(old, batch_id=0)
+        sv0 = pipe.table.manifest().schema_version
+
+        new = gen_changelog(spark, 100, seed=6, n_repos=40, paths_per_repo=10,
+                            start_seq=2000, evolution_point=0)
+        pipe.apply_batch(new, batch_id=1)
+        m = pipe.table.manifest()
+        assert m.schema_version == sv0 + 1
+        assert "stars" in m.schema.fieldNames()
+
+        final = pipe.table.read()
+        updated = final.filter(F.col("_last_seq") >= 2000)
+        untouched = final.filter(F.col("_last_seq") < 2000)
+        assert untouched.count() > 0
+        # pre-evolution rows read NULL in the new column; post-evolution rows carry it
+        assert untouched.filter(F.col("stars").isNotNull()).count() == 0
+        assert updated.count() > 0
+        assert updated.filter(F.col("stars").isNull()).count() == 0
+
+    def test_reader_projects_old_snapshots_with_new_schema(self, spark, tmpdir_path):
+        pipe, log_dir = _pipe(spark, tmpdir_path)
+        pipe.apply_batch(gen_changelog(spark, 500, seed=7), batch_id=0)
+        pipe.apply_batch(
+            gen_changelog(spark, 200, seed=7, start_seq=500, evolution_point=0), batch_id=1
+        )
+        # time travel to v1 uses the v1 schema (no stars)
+        assert "stars" not in pipe.table.read(version=1).columns
+        assert "stars" in pipe.table.read().columns
+
+
+class TestSkew:
+    def test_salted_equals_unsalted(self, spark, tmpdir_path):
+        """E17: hot repo (50% of events) — salted pipeline must equal unsalted."""
+        hot = gen_changelog(spark, 4000, seed=8, n_repos=20, paths_per_repo=10,
+                            hot_repo_fraction=0.5)
+        # sanity: repo_0 really is hot
+        top = hot.groupBy("repo").count().orderBy(F.desc("count")).first()
+        assert top["repo"] == "repo_0" and top["count"] > 1500
+
+        plain = lww_dedupe(hot, ["repo", "path"], "seq", ["token"])
+        salted = lww_dedupe(
+            salted_repartition(hot, hot_cols=["repo"], salt_cols=["path"], salt_buckets=8),
+            ["repo", "path"], "seq", ["token"],
+        )
+        assert plain.exceptAll(salted).count() == 0
+        assert salted.exceptAll(plain).count() == 0
+
+    def test_window_and_agg_dedupe_agree(self, spark):
+        log = gen_changelog(spark, 3000, seed=9, n_repos=8, paths_per_repo=4)
+        a = lww_dedupe(log, ["repo", "path"], "seq", ["token"])
+        b = lww_dedupe_window(log, ["repo", "path"], "seq", ["token"])
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+class TestErrors:
+    def test_missing_table(self, spark, tmpdir_path):
+        t = LakeTable(spark, f"{tmpdir_path}/nope")
+        with pytest.raises(MissingResourceError, match="Collection not found"):
+            t.manifest()
+
+    def test_config_validation(self):
+        with pytest.raises(ConfigError, match="n_buckets"):
+            EngineConfig(n_buckets=-1)
+        with pytest.raises(ConfigError, match="captured_ops"):
+            EngineConfig(captured_ops=("insert", "upsert-typo"))
+
+    def test_config_from_env(self, monkeypatch):
+        monkeypatch.setenv("CDC_N_BUCKETS", "64")
+        monkeypatch.setenv("CDC_CAPTURED_OPS", "insert,update")
+        cfg = EngineConfig.from_env()
+        assert cfg.n_buckets == 64 and cfg.captured_ops == ("insert", "update")
