@@ -51,7 +51,7 @@ from change_data_capturer_ms_spark.operators import (
 )
 from change_data_capturer_ms_spark.operators.similarity import embedding_near_dup_pairs
 
-_VER = "r1c"  # bump to invalidate cached temp tables when semantics change
+_VER = "r1d"  # bump to invalidate cached temp tables when semantics change
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -301,6 +301,174 @@ def q_window_tumbling(spark, sf_dir):
     )
 
 
+def q_predicate_like_null(spark, sf_dir):
+    """E2: LIKE / IS NOT NULL predicates pushed to the scan."""
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(
+        F.col("text").like("%the %") & F.col("lang").isNotNull()
+    ).select("doc_id", "lang", "n_chars")
+
+
+def q_point_lookup(spark, sf_dir):
+    """L6: point lookup by key (reference findDocumentByID,
+    mongo/utils.ts:80-96) — at scale this hits one bucket via key hashing."""
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(F.col("doc_id") == 42).select(
+        "doc_id", "source", "lang", F.sha2("text", 256).alias("text_sha256")
+    )
+
+
+def q_cube_metrics(spark, sf_dir):
+    """E10: cube over orders (metrics reporting beyond rollup)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+def q_topk_per_group(spark, sf_dir):
+    """E11: per-group top-k via window rank with deterministic tiebreak."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
+    )
+
+
+def q_map_funcs(spark, sf_dir):
+    """E16: map_from_entries + element_at (per-user event-type counts as a map,
+    scalars extracted so the oracle comparison stays engine-neutral)."""
+    e = _t(spark, sf_dir, "events")
+    per_type = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    m = per_type.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.coalesce(F.element_at("m", "click"), F.lit(0)).alias("n_click"),
+        F.coalesce(F.element_at("m", "purchase"), F.lit(0)).alias("n_purchase"),
+        F.size("m").alias("n_types"),
+    )
+
+
+def q_collect_sorted(spark, sf_dir):
+    """E16: collect_set + sort_array (lineage-list shape), exported as a joined
+    string for cross-engine value equality."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("event_type"))).alias("types_csv")
+    )
+
+
+def q_set_intersect(spark, sf_dir):
+    """E12: intersection (users who both clicked and purchased)."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clicks.intersect(buys)
+
+
+def q_union_evolution(spark, sf_dir):
+    """E12/E20: unionByName(allowMissingColumns=True) — the additive schema
+    evolution primitive; the missing side reads NULL."""
+    d = _t(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "source")
+    b = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang")
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+def q_session_window(spark, sf_dir):
+    """E19: session windows (10-min gap) per user — session start exported as
+    epoch seconds; Spark session semantics: a gap ≥ 10 min starts a new session."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("sess_start_epoch"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def q_grouped_map_normalize(spark, sf_dir):
+    """E22 grouped-map: applyInPandas per-event_type z-score of value."""
+    from change_data_capturer_ms_spark.operators.grouped import zscore_normalize
+
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = zscore_normalize(e, ["event_type"], "value", id_cols=["event_id"])
+    return out.select("event_id", "event_type", F.round("zscore", 4).alias("zscore"))
+
+
+def q_grouped_agg_weighted(spark, sf_dir):
+    """E22 grouped-agg: pandas UDF weighted mean (weight = event_id % 10 + 1)."""
+    from change_data_capturer_ms_spark.operators.grouped import weighted_mean_agg
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "w", (F.pmod(F.col("event_id"), F.lit(10)) + 1).cast("double")
+    )
+    # pandas grouped-agg UDFs cannot mix with builtin aggregates in one agg()
+    return e.groupBy("event_type").agg(
+        F.round(weighted_mean_agg("value", "w"), 4).alias("wmean_value")
+    )
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-shaped headline: selective join + agg + global top-10."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_streaming_window_counts(spark, sf_dir):
+    """E19 streaming: real readStream → tumbling 1h window agg → memory sink
+    (complete mode, availableNow) — final state equals the batch GROUP BY, so it
+    gets a full oracle. At scale this runs append-mode with a watermark to a
+    file sink; complete+memory is the deterministic sandbox shape."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    name = f"stream_win_{_VER}_{tag}"
+    # the file stream source requires a directory; stage the (read-only) events
+    # parquet into a temp dir via symlink
+    src = os.path.realpath(os.path.join(sf_dir, "events.parquet"))
+    stage = f"/tmp/cdc_stream_src_{_VER}_{tag}"
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    schema = _t(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.unix_timestamp(F.col("w.start")).alias("hour_epoch"), "n", "sum_value"
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (documents / embeddings)
 # ---------------------------------------------------------------------------
@@ -437,6 +605,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "math_funcs": q_math_funcs,
         "array_wordcount": q_array_wordcount,
         "window_tumbling": q_window_tumbling,
+        "predicate_like_null": q_predicate_like_null,
+        "point_lookup": q_point_lookup,
+        "cube_metrics": q_cube_metrics,
+        "topk_per_group": q_topk_per_group,
+        "map_funcs": q_map_funcs,
+        "collect_sorted": q_collect_sorted,
+        "set_intersect": q_set_intersect,
+        "union_evolution": q_union_evolution,
+        "session_window": q_session_window,
+        "grouped_map_normalize": q_grouped_map_normalize,
+        "grouped_agg_weighted": q_grouped_agg_weighted,
+        "shipping_priority": q_shipping_priority,
+        "streaming_window_counts": q_streaming_window_counts,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
@@ -635,6 +816,78 @@ def oracle_sql() -> dict[str, str]:
         "window_tumbling": (
             # epoch_us, not epoch(ts)::BIGINT — the latter ROUNDS sub-second parts
             "SELECT (epoch_us(ts) // 1800000000) * 1800 AS win_epoch, "
+            "COUNT(*)::BIGINT AS n, ROUND(SUM(value), 2) AS sum_value "
+            "FROM events GROUP BY 1"
+        ),
+        "predicate_like_null": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE text LIKE '%the %' AND lang IS NOT NULL"
+        ),
+        "point_lookup": (
+            "SELECT doc_id, source, lang, sha256(text) AS text_sha256 "
+            "FROM documents WHERE doc_id = 42"
+        ),
+        "cube_metrics": (
+            "SELECT o_orderstatus, o_orderpriority, COUNT(*)::BIGINT AS n_orders, "
+            "ROUND(SUM(o_totalprice), 2) AS total_price "
+            "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"
+        ),
+        "topk_per_group": (
+            "SELECT o_orderpriority, rk::INT AS rk, o_orderkey, o_totalprice FROM ("
+            "  SELECT o_orderpriority, o_orderkey, o_totalprice, ROW_NUMBER() OVER ("
+            "    PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey"
+            "  ) AS rk FROM orders) WHERE rk <= 3"
+        ),
+        "map_funcs": (
+            "SELECT user_id, "
+            "SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click, "
+            "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase, "
+            "COUNT(DISTINCT event_type)::INT AS n_types FROM events GROUP BY user_id"
+        ),
+        "collect_sorted": (
+            "SELECT user_id, array_to_string(list_sort(list_distinct(list(event_type))), ',') "
+            "AS types_csv FROM events GROUP BY user_id"
+        ),
+        "set_intersect": (
+            "SELECT DISTINCT user_id FROM events WHERE event_type = 'click' "
+            "INTERSECT SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'"
+        ),
+        "union_evolution": (
+            "SELECT doc_id, source, NULL::VARCHAR AS lang FROM documents WHERE doc_id % 2 = 0 "
+            "UNION ALL "
+            "SELECT doc_id, NULL::VARCHAR AS source, lang FROM documents WHERE doc_id % 2 = 1"
+        ),
+        "session_window": (
+            # Spark session semantics: gap >= gapDuration starts a new session
+            "WITH x AS (SELECT user_id, ts, value, CASE WHEN ts - LAG(ts) OVER ("
+            "  PARTITION BY user_id ORDER BY ts) < INTERVAL '10 minutes' THEN 0 ELSE 1 END "
+            "  AS new_sess FROM events), "
+            "y AS (SELECT user_id, ts, value, SUM(new_sess) OVER (PARTITION BY user_id "
+            "  ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM x) "
+            "SELECT user_id, (epoch_us(MIN(ts)) // 1000000)::BIGINT AS sess_start_epoch, "
+            "COUNT(*)::BIGINT AS n, ROUND(SUM(value), 2) AS sum_value "
+            "FROM y GROUP BY user_id, sid"
+        ),
+        "grouped_map_normalize": (
+            "SELECT event_id, event_type, ROUND(CASE WHEN s IS NULL OR s = 0 THEN 0.0 "
+            "ELSE (value - m) / s END, 4) AS zscore FROM ("
+            "  SELECT event_id, event_type, value, "
+            "  AVG(value) OVER (PARTITION BY event_type) AS m, "
+            "  STDDEV_SAMP(value) OVER (PARTITION BY event_type) AS s FROM events)"
+        ),
+        "grouped_agg_weighted": (
+            "SELECT event_type, ROUND(SUM(value * w) / SUM(w), 4) AS wmean_value FROM ("
+            "  SELECT event_type, value, (event_id % 10 + 1)::DOUBLE AS w FROM events) "
+            "GROUP BY event_type"
+        ),
+        "shipping_priority": (
+            "SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE o_orderdate < TIMESTAMP '1995-03-15 00:00:00' "
+            "GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10"
+        ),
+        "streaming_window_counts": (
+            "SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch, "
             "COUNT(*)::BIGINT AS n, ROUND(SUM(value), 2) AS sum_value "
             "FROM events GROUP BY 1"
         ),

@@ -46,6 +46,7 @@ from change_data_capturer_ms_spark.lake.manifest import FileEntry, Manifest, Man
 from change_data_capturer_ms_spark.operators.dedupe import lww_dedupe
 
 SEQ_META_COL = "_last_seq"
+OP_META_COL = "_last_op"
 
 
 def bucket_expr(key_cols: list[str], n_buckets: int):
@@ -78,10 +79,14 @@ class LakeTable:
         /root/reference/src/capturer/mongo/utils.ts:51-70)."""
         if self.exists():
             raise ValueError(f"table already exists at {self.path}")
-        if SEQ_META_COL not in schema.fieldNames():
-            schema = T.StructType(
-                list(schema.fields) + [T.StructField(SEQ_META_COL, T.LongType(), True)]
-            )
+        extra = [
+            T.StructField(SEQ_META_COL, T.LongType(), True),
+            T.StructField(OP_META_COL, T.StringType(), True),
+        ]
+        schema = T.StructType(
+            list(schema.fields)
+            + [f for f in extra if f.name not in schema.fieldNames()]
+        )
         m = Manifest(
             version=0,
             parent=None,
@@ -108,17 +113,35 @@ class LakeTable:
 
     # -- read ----------------------------------------------------------------
 
-    def read(self, version: int | None = None, buckets: set[int] | None = None) -> DataFrame:
-        """Snapshot read. `buckets` prunes to a file subset (the MERGE fast path)."""
+    def read(
+        self,
+        version: int | None = None,
+        buckets: set[int] | None = None,
+        include_deleted: bool = False,
+    ) -> DataFrame:
+        """Snapshot read. `buckets` prunes to a file subset (the MERGE fast path).
+
+        Delete-winners persist as TOMBSTONE rows (`_last_op = 'delete'`) so that a
+        later micro-batch carrying *older* seqs for the key cannot resurrect it —
+        change-log micro-batches are not guaranteed seq-contiguous (a replayed or
+        reordered file batch must converge to the same state). Default reads hide
+        tombstones; `include_deleted=True` is the MERGE-internal view.
+        """
         m = self.manifest(version)
         files = m.files if buckets is None else [f for f in m.files if f.bucket in buckets]
         schema = m.schema
         if not files:
-            return self.spark.createDataFrame([], schema)
-        paths = [os.path.join(self.path, f.path) for f in files]
-        # explicit manifest schema (not mergeSchema): O(1) planning instead of a
-        # footer scan over every file, and NULL-fill for pre-evolution files
-        return self.spark.read.schema(schema).parquet(*paths)
+            df = self.spark.createDataFrame([], schema)
+        else:
+            paths = [os.path.join(self.path, f.path) for f in files]
+            # explicit manifest schema (not mergeSchema): O(1) planning instead of a
+            # footer scan over every file, and NULL-fill for pre-evolution files
+            df = self.spark.read.schema(schema).parquet(*paths)
+        if not include_deleted and OP_META_COL in schema.fieldNames():
+            df = df.filter(
+                F.col(OP_META_COL).isNull() | (F.col(OP_META_COL) != "delete")
+            )
+        return df
 
     def committed_batches(self) -> set[str]:
         return set(self.manifest().committed_batches)
@@ -141,6 +164,7 @@ class LakeTable:
         delete_op: str = "delete",
         tiebreakers: list[str] | None = None,
         lineage: list[dict] | None = None,
+        planning_df: DataFrame | None = None,
     ) -> dict:
         """MERGE the micro-batch into the table; returns commit metrics.
 
@@ -167,23 +191,29 @@ class LakeTable:
         schema = old_schema
         schema_version = m.schema_version
         if new_fields:
-            fields = [f for f in old_schema.fields if f.name != SEQ_META_COL]
+            meta_names = (SEQ_META_COL, OP_META_COL)
+            fields = [f for f in old_schema.fields if f.name not in meta_names]
             fields += [T.StructField(f.name, f.dataType, True) for f in new_fields]
             fields.append(T.StructField(SEQ_META_COL, T.LongType(), True))
+            fields.append(T.StructField(OP_META_COL, T.StringType(), True))
             schema = T.StructType(fields)
             schema_version += 1
         out_cols = [f.name for f in schema.fields]
 
-        # 1) dedupe the batch per key (LWW by seq; map-side combine)
-        deduped = lww_dedupe(batch, keys, seq_col=seq_col, tiebreakers=tiebreakers)
-        deduped = deduped.withColumn("_bucket", bucket_expr(keys, n_buckets))
-
-        # 2) one aggregation job yields affected buckets + batch metrics + lease
+        # 1) cheap planning job: affected buckets + input metrics from the RAW
+        #    key/op/seq columns only — Catalyst prunes every derived column (incl.
+        #    pandas-UDF projections), so the expensive transform pipeline does NOT
+        #    execute here. Distinct buckets of the raw batch equal distinct buckets
+        #    of the deduped batch (dedupe keeps ≥1 row per key), so pruning is exact.
+        #    `planning_df` (same rows as batch, pre-transform) lets the caller skip
+        #    even the transform stage's repartition in this job.
         agg = (
-            deduped.groupBy("_bucket")
+            (planning_df if planning_df is not None else batch)
+            .select(*keys, op_col, seq_col)
+            .withColumn("_bucket", bucket_expr(keys, n_buckets))
+            .groupBy("_bucket")
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.sum(F.when(F.col(op_col) == delete_op, 1).otherwise(0)).alias("dels"),
                 F.max(seq_col).alias("max_seq"),
             )
             .collect()
@@ -196,29 +226,50 @@ class LakeTable:
                     "metrics": metrics}
         affected = {int(r["_bucket"]) for r in agg}
         batch_rows = sum(r["n"] for r in agg)
-        batch_deletes = sum(r["dels"] for r in agg)
         max_seq = max(r["max_seq"] for r in agg)
 
-        # 3) existing rows in affected buckets only (bucket-pruned snapshot scan)
-        existing = self.read(buckets=affected)
+        # 2) existing rows in affected buckets only (bucket-pruned snapshot scan),
+        #    INCLUDING tombstones — a stored delete must keep outranking older seqs
+        existing = self.read(buckets=affected, include_deleted=True)
         existing = (
             existing
             .withColumn(seq_col, F.col(SEQ_META_COL))
-            .withColumn(op_col, F.lit(None).cast("string"))
+            .withColumn(op_col, F.col(OP_META_COL))
             .withColumn("_prio", F.lit(0))
-            .drop(SEQ_META_COL)
+            .drop(SEQ_META_COL, OP_META_COL)
         )
-        incoming = deduped.drop("_bucket").withColumn("_prio", F.lit(1))
+        incoming = batch.withColumn("_prio", F.lit(1))
 
-        # 4) union (schema-aligned) → per-key LWW → drop delete-winners
+        # 3) union (schema-aligned) → ONE per-key LWW → drop delete-winners.
+        #    max_by is associative, so deduping the raw batch together with the
+        #    existing rows in a single aggregation is exactly equivalent to
+        #    dedupe-batch-then-merge — but one whole shuffle stage cheaper. The
+        #    map-side partial max_by keeps shuffle volume at one row per key per
+        #    map partition regardless of raw duplication, and _prio=1 makes the
+        #    batch win seq ties against existing rows. The Arrow-UDF transform
+        #    upstream of `batch` executes exactly once, inside the write job.
+        #    Winner metrics ride the same job via observe() — no extra pass.
         merged = existing.unionByName(incoming, allowMissingColumns=True)
         winners = lww_dedupe(
             merged, keys, seq_col=seq_col,
             tiebreakers=["_prio"] + (tiebreakers or []),
         )
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        winners = winners.observe(
+            obs,
+            F.sum(
+                F.when((F.col(op_col) == delete_op) & (F.col("_prio") == 1), 1)
+                .otherwise(0)
+            ).alias("delete_winners"),
+            F.sum(F.when(F.col("_prio") == 1, 1).otherwise(0)).alias("batch_winners"),
+        )
+        # delete-winners are KEPT as tombstones (see read() docstring); they leave
+        # the table only via expire_tombstones() once the low-watermark passes
         final = (
-            winners.filter((F.col(op_col).isNull()) | (F.col(op_col) != delete_op))
-            .withColumn(SEQ_META_COL, F.col(seq_col))
+            winners.withColumn(SEQ_META_COL, F.col(seq_col))
+            .withColumn(OP_META_COL, F.col(op_col))
             .select(*out_cols)
         )
 
@@ -227,9 +278,12 @@ class LakeTable:
                                         len(affected))
         carried = [f for f in m.files if f.bucket not in affected]
         rows_written = sum(f.rows for f in new_files)
+        wm = obs.get
+        batch_winners = int(wm.get("batch_winners") or 0)
+        batch_deletes = int(wm.get("delete_winners") or 0)
         metrics = {
             "rows": int(batch_rows),
-            "upserts": int(batch_rows - batch_deletes),
+            "upserts": int(batch_winners - batch_deletes),
             "deletes": int(batch_deletes),
             "rows_written": int(rows_written),
             "buckets_rewritten": len(affected),
@@ -240,6 +294,133 @@ class LakeTable:
                      source_id, batch_id, lease_token, metrics, lineage)
         return {"skipped": False, "version": m.version + 1, "batch_id": batch_id,
                 "metrics": metrics}
+
+    # -- maintenance ----------------------------------------------------------
+
+    def compact(self, target_file_bytes: int = 128 * 1024 * 1024,
+                min_files_per_bucket: int = 2) -> dict:
+        """Bin-pack small files: rewrite every bucket holding ≥ min_files_per_bucket
+        files whose combined size is under target_file_bytes.
+
+        Steady-state MERGE leaves one file per touched bucket, but schema-evolution
+        carry-over and tiny micro-batches accumulate small files; at 100 TB unmanaged
+        small files dominate scan planning cost (this is Iceberg's rewrite_data_files
+        maintenance action re-expressed). Data content is byte-identical after
+        compaction — only the file layout changes; commit goes through the same
+        atomic-manifest protocol so concurrent readers keep their snapshot.
+        """
+        m = self.manifest()
+        by_bucket: dict[int, list[FileEntry]] = {}
+        for f in m.files:
+            by_bucket.setdefault(f.bucket, []).append(f)
+        victims = {
+            b: fs for b, fs in by_bucket.items()
+            if len(fs) >= min_files_per_bucket
+            and sum(f.bytes for f in fs) <= target_file_bytes
+        }
+        if not victims:
+            return {"compacted_buckets": 0, "version": m.version}
+        df = self.read(buckets=set(victims))
+        new_files = self._write_buckets(df, m.key_cols, m.n_buckets,
+                                        m.version + 1, len(victims))
+        carried = [f for f in m.files if f.bucket not in victims]
+        # maintenance commit: same atomic protocol, but the resume lease is
+        # carried over untouched — compaction must never move the CDC cursor
+        new = Manifest(
+            version=m.version + 1,
+            parent=m.version,
+            schema_json=m.schema_json,
+            schema_version=m.schema_version,
+            n_buckets=m.n_buckets,
+            key_cols=m.key_cols,
+            files=carried + new_files,
+            committed_batches=m.committed_batches
+            + [f"maintenance:compact-v{m.version + 1}"],
+            lease=dict(m.lease),
+        )
+        self.store.commit(new, expected_parent=m.version)
+        return {"compacted_buckets": len(victims), "version": m.version + 1,
+                "files_before": sum(len(v) for v in victims.values()),
+                "files_after": len(new_files)}
+
+    def expire_tombstones(self, min_seq: int) -> dict:
+        """Drop delete tombstones with `_last_seq < min_seq`.
+
+        Safe once the source low-watermark guarantees no event with seq < min_seq
+        can still arrive (the streaming checkpoint's committed offset). Rewrites
+        only buckets that actually hold expirable tombstones; same atomic commit,
+        lease untouched.
+        """
+        m = self.manifest()
+        if OP_META_COL not in m.schema.fieldNames():
+            return {"expired": 0, "version": m.version}
+        expirable = (F.col(OP_META_COL) == "delete") & (F.col(SEQ_META_COL) < min_seq)
+        # candidate files by min_seq stats, then exact bucket set in one small agg
+        cand = {f.bucket for f in m.files if f.min_seq is None or f.min_seq < min_seq}
+        if not cand:
+            return {"expired": 0, "version": m.version}
+        victims = {
+            int(r["_bucket"])
+            for r in self.read(buckets=cand, include_deleted=True)
+            .filter(expirable)
+            .withColumn("_bucket", bucket_expr(m.key_cols, m.n_buckets))
+            .select("_bucket").distinct().collect()
+        }
+        if not victims:
+            return {"expired": 0, "version": m.version}
+        keep = self.read(buckets=victims, include_deleted=True).filter(~expirable)
+        new_files = self._write_buckets(keep, m.key_cols, m.n_buckets,
+                                        m.version + 1, len(victims))
+        carried = [f for f in m.files if f.bucket not in victims]
+        new = Manifest(
+            version=m.version + 1,
+            parent=m.version,
+            schema_json=m.schema_json,
+            schema_version=m.schema_version,
+            n_buckets=m.n_buckets,
+            key_cols=m.key_cols,
+            files=carried + new_files,
+            committed_batches=m.committed_batches
+            + [f"maintenance:expire-tombstones-v{m.version + 1}"],
+            lease=dict(m.lease),
+        )
+        self.store.commit(new, expected_parent=m.version)
+        return {"expired_buckets": len(victims), "version": m.version + 1}
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Drop manifests older than the newest `keep_last` and delete data files
+        referenced only by them (Iceberg expire_snapshots semantics).
+
+        The current snapshot is never touched; time travel remains available for
+        retained versions. Orphan files from crashed writers are also swept (they
+        appear in no retained manifest).
+        """
+        cur = self.manifest()
+        keep_versions = [v for v in range(max(0, cur.version - keep_last + 1),
+                                          cur.version + 1)]
+        live: set[str] = set()
+        for v in keep_versions:
+            try:
+                live.update(f.path for f in self.store.load(v).files)
+            except FileNotFoundError:
+                continue
+        removed_files = 0
+        data_root = os.path.join(self.path, "data")
+        for fpath in glob.glob(os.path.join(data_root, "*", "*", "*.parquet")) + glob.glob(
+            os.path.join(data_root, "*", "*.parquet")
+        ):
+            if os.path.relpath(fpath, self.path) not in live:
+                os.remove(fpath)
+                removed_files += 1
+        removed_manifests = 0
+        for mpath in glob.glob(os.path.join(self.path, "_meta", "v*.json")):
+            v = int(os.path.basename(mpath)[1:-5])
+            if v not in keep_versions:
+                os.remove(mpath)
+                removed_manifests += 1
+        return {"removed_files": removed_files,
+                "removed_manifests": removed_manifests,
+                "retained_versions": keep_versions}
 
     # -- internals -----------------------------------------------------------
 
@@ -261,14 +442,14 @@ class LakeTable:
             .partitionBy("_bucket")
             .parquet(out_dir)
         )
-        entries: list[FileEntry] = []
         import pyarrow.parquet as pq
+        from concurrent.futures import ThreadPoolExecutor
 
-        for fpath in glob.glob(os.path.join(out_dir, "_bucket=*", "*.parquet")):
+        def _stat(fpath: str) -> FileEntry | None:
             bucket = int(os.path.basename(os.path.dirname(fpath)).split("=", 1)[1])
             md = pq.ParquetFile(fpath).metadata
             if md.num_rows == 0:
-                continue
+                return None
             min_seq = max_seq = None
             try:
                 idx = next(
@@ -281,17 +462,18 @@ class LakeTable:
                     max_seq = max(s.max for s in stats)
             except StopIteration:
                 pass
-            entries.append(
-                FileEntry(
-                    path=os.path.relpath(fpath, self.path),
-                    bucket=bucket,
-                    rows=md.num_rows,
-                    bytes=os.path.getsize(fpath),
-                    min_seq=min_seq,
-                    max_seq=max_seq,
-                )
+            return FileEntry(
+                path=os.path.relpath(fpath, self.path),
+                bucket=bucket,
+                rows=md.num_rows,
+                bytes=os.path.getsize(fpath),
+                min_seq=min_seq,
+                max_seq=max_seq,
             )
-        return entries
+
+        paths = glob.glob(os.path.join(out_dir, "_bucket=*", "*.parquet"))
+        with ThreadPoolExecutor(max_workers=min(16, max(len(paths), 1))) as ex:
+            return [e for e in ex.map(_stat, paths) if e is not None]
 
     def _commit(self, parent: Manifest, files: list[FileEntry], schema: T.StructType,
                 schema_version: int, ledger_key: str, source_id: str,

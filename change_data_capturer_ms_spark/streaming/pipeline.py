@@ -138,7 +138,8 @@ class CDCPipeline:
             lineage = [
                 {"partition": int(r["p"]), "first_seq": int(r["lo"]),
                  "last_seq": int(r["hi"]), "rows": int(r["n"])}
-                for r in batch_df.groupBy(F.spark_partition_id().alias("p"))
+                for r in batch_df.select("seq")  # column-pruned scan
+                .groupBy(F.spark_partition_id().alias("p"))
                 .agg(F.min("seq").alias("lo"), F.max("seq").alias("hi"),
                      F.count(F.lit(1)).alias("n"))
                 .collect()
@@ -151,6 +152,9 @@ class CDCPipeline:
             source_id=self.source_id,
             tiebreakers=["token"],
             lineage=lineage,
+            # planning frame = same rows, pre-transform: the affected-bucket agg
+            # reads only (keys, op, seq) straight off the scan, no salt shuffle
+            planning_df=batch_df.filter(F.col("op").isin(*self.cfg.captured_ops)),
         )
         if not result.get("skipped"):
             lease = self.table.lease()

@@ -187,6 +187,84 @@ class TestSkew:
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+class TestTombstones:
+    def test_out_of_order_batch_cannot_resurrect_deleted_key(self, spark, tmpdir_path):
+        """Regression: micro-batches are not seq-contiguous (file batching /
+        replay), so a delete-winner must persist as a tombstone — an older
+        insert arriving later must NOT bring the key back."""
+        pipe, log_dir = _pipe(spark, tmpdir_path)
+        full = gen_changelog(spark, 3000, seed=11, n_repos=12, paths_per_repo=6)
+        # apply the LATER half first (contains final deletes), then the earlier half
+        pipe.apply_batch(full.filter(F.col("seq") >= 1000), batch_id=0)
+        pipe.apply_batch(full.filter(F.col("seq") < 1000), batch_id=1)
+        got = _state(pipe.table)
+
+        # reference: single-pass application of the whole log
+        pipe2, _ = _pipe(spark, tmpdir_path, "ref")
+        pipe2.apply_batch(full, batch_id=0)
+        want = _state(pipe2.table)
+        assert list(got["content_sha256"]) == list(want["content_sha256"])
+        assert list(got["_last_seq"]) == list(want["_last_seq"])
+
+        # tombstones match the log-derived expectation and are hidden by default
+        exp_tomb = (
+            full.groupBy("repo", "path")
+            .agg(F.max_by("op", F.struct("seq", "token")).alias("op"))
+            .filter(F.col("op") == "delete")
+            .count()
+        )
+        assert exp_tomb > 0, "fixture must end at least one key on a delete"
+        tomb = pipe.table.read(include_deleted=True).filter(F.col("_last_op") == "delete")
+        assert tomb.count() == exp_tomb
+        assert pipe.table.read().filter(F.col("_last_op") == "delete").count() == 0
+
+    def test_expire_tombstones(self, spark, tmpdir_path):
+        pipe, log_dir = _pipe(spark, tmpdir_path)
+        pipe.apply_batch(gen_changelog(spark, 2000, seed=12, n_repos=6, paths_per_repo=4),
+                         batch_id=0)
+        before = _state(pipe.table)
+        n_tomb = pipe.table.read(include_deleted=True).filter(
+            F.col("_last_op") == "delete").count()
+        assert n_tomb > 0
+        res = pipe.table.expire_tombstones(min_seq=2000)  # low-watermark passed all
+        assert res["version"] > 0
+        assert pipe.table.read(include_deleted=True).filter(
+            F.col("_last_op") == "delete").count() == 0
+        assert _state(pipe.table).equals(before)  # live rows untouched
+        # lease survives maintenance
+        assert pipe.table.lease()["id"] == "changelog"
+
+
+class TestMaintenance:
+    def test_compact_preserves_state_and_lease(self, spark, tmpdir_path):
+        pipe, log_dir = _pipe(spark, tmpdir_path)
+        # several tiny batches leave multiple files per bucket after evolution
+        pipe.apply_batch(gen_changelog(spark, 600, seed=13), batch_id=0)
+        pipe.apply_batch(
+            gen_changelog(spark, 300, seed=13, start_seq=600, evolution_point=0),
+            batch_id=1,
+        )
+        before = _state(pipe.table)
+        lease = pipe.table.lease()
+        res = pipe.table.compact()
+        after = _state(pipe.table)
+        assert after.equals(before)
+        assert pipe.table.lease() == lease
+        if res["compacted_buckets"]:
+            assert res["files_after"] <= res["files_before"]
+
+    def test_expire_snapshots_keeps_current_readable(self, spark, tmpdir_path):
+        pipe, log_dir = _pipe(spark, tmpdir_path)
+        for i in range(3):
+            pipe.apply_batch(
+                gen_changelog(spark, 400, seed=14, start_seq=400 * i), batch_id=i
+            )
+        before = _state(pipe.table)
+        res = pipe.table.expire_snapshots(keep_last=1)
+        assert res["removed_manifests"] > 0
+        assert _state(pipe.table).equals(before)
+
+
 class TestErrors:
     def test_missing_table(self, spark, tmpdir_path):
         t = LakeTable(spark, f"{tmpdir_path}/nope")
