@@ -469,6 +469,44 @@ def q_streaming_window_counts(spark, sf_dir):
     )
 
 
+def q_stateful_running_stats(spark, sf_dir):
+    """E18/E22: applyInPandasWithState — per-user cumulative stats across two
+    real micro-batches; the final state per key equals the batch aggregate
+    (the oracle's GROUP BY)."""
+    from change_data_capturer_ms_spark.streaming import running_key_stats
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    stage = f"/tmp/cdc_state_src_{_VER}_{tag}"
+    if not os.path.exists(stage):
+        (_t(spark, sf_dir, "events").repartition(2)
+         .write.mode("overwrite").parquet(stage))
+    schema = _t(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+    )
+    name = f"state_stats_{_VER}_{tag}"
+    q = (
+        running_key_stats(stream, keys=["user_id"], seq_col="event_id",
+                          value_col="value")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    # cumulative outputs are monotone per key; the final state is the max
+    upd = spark.table(name)
+    final = F.max_by(F.struct("n_events", "max_seq", "sum_value"), "n_events")
+    return (
+        upd.groupBy("user_id").agg(final.alias("s"))
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.max_seq").alias("max_event_id"),
+            F.round("s.sum_value", 2).alias("sum_value"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (documents / embeddings)
 # ---------------------------------------------------------------------------
@@ -618,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_agg_weighted": q_grouped_agg_weighted,
         "shipping_priority": q_shipping_priority,
         "streaming_window_counts": q_streaming_window_counts,
+        "stateful_running_stats": q_stateful_running_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
@@ -890,6 +929,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch, "
             "COUNT(*)::BIGINT AS n, ROUND(SUM(value), 2) AS sum_value "
             "FROM events GROUP BY 1"
+        ),
+        "stateful_running_stats": (
+            "SELECT user_id, COUNT(*)::BIGINT AS n_events, "
+            "MAX(event_id)::BIGINT AS max_event_id, "
+            "ROUND(SUM(value), 2) AS sum_value FROM events GROUP BY user_id"
         ),
         "dedup_exact": (
             "SELECT sha256(text) AS text_sha256, MIN(doc_id)::BIGINT AS canonical_id, "

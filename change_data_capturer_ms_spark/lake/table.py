@@ -131,7 +131,12 @@ class LakeTable:
         files = m.files if buckets is None else [f for f in m.files if f.bucket in buckets]
         schema = m.schema
         if not files:
-            df = self.spark.createDataFrame([], schema)
+            # JVM-side empty relation: createDataFrame([], schema) builds a
+            # Python-RDD-backed frame whose ExistingRDD node breaks codegen for
+            # every plan unioned with it (measured 6x slowdown on the MERGE job)
+            df = self.spark.range(0).select(
+                *[F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields]
+            )
         else:
             paths = [os.path.join(self.path, f.path) for f in files]
             # explicit manifest schema (not mergeSchema): O(1) planning instead of a
@@ -165,6 +170,7 @@ class LakeTable:
         tiebreakers: list[str] | None = None,
         lineage: list[dict] | None = None,
         planning_df: DataFrame | None = None,
+        planning_stats: list[tuple[int, int, int]] | None = None,
     ) -> dict:
         """MERGE the micro-batch into the table; returns commit metrics.
 
@@ -206,18 +212,23 @@ class LakeTable:
         #    execute here. Distinct buckets of the raw batch equal distinct buckets
         #    of the deduped batch (dedupe keeps ≥1 row per key), so pruning is exact.
         #    `planning_df` (same rows as batch, pre-transform) lets the caller skip
-        #    even the transform stage's repartition in this job.
-        agg = (
-            (planning_df if planning_df is not None else batch)
-            .select(*keys, op_col, seq_col)
-            .withColumn("_bucket", bucket_expr(keys, n_buckets))
-            .groupBy("_bucket")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.max(seq_col).alias("max_seq"),
-            )
-            .collect()
-        )  # bounded by n_buckets rows — never data-proportional
+        #    even the transform stage's repartition in this job; `planning_stats`
+        #    = precomputed [(bucket, n, max_seq)] skips the job entirely (the
+        #    pipeline folds it into its lineage aggregation — one job, not two).
+        if planning_stats is not None:
+            agg = [{"_bucket": b, "n": n, "max_seq": s} for b, n, s in planning_stats]
+        else:
+            agg = (
+                (planning_df if planning_df is not None else batch)
+                .select(*keys, op_col, seq_col)
+                .withColumn("_bucket", bucket_expr(keys, n_buckets))
+                .groupBy("_bucket")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.max(seq_col).alias("max_seq"),
+                )
+                .collect()
+            )  # bounded by n_buckets rows — never data-proportional
         if not agg:
             metrics = {"rows": 0, "upserts": 0, "deletes": 0}
             self._commit(m, m.files, schema, schema_version, ledger_key,
@@ -230,15 +241,19 @@ class LakeTable:
 
         # 2) existing rows in affected buckets only (bucket-pruned snapshot scan),
         #    INCLUDING tombstones — a stored delete must keep outranking older seqs
-        existing = self.read(buckets=affected, include_deleted=True)
-        existing = (
-            existing
-            .withColumn(seq_col, F.col(SEQ_META_COL))
-            .withColumn(op_col, F.col(OP_META_COL))
-            .withColumn("_prio", F.lit(0))
-            .drop(SEQ_META_COL, OP_META_COL)
-        )
+        has_existing = any(f.bucket in affected for f in m.files)
         incoming = batch.withColumn("_prio", F.lit(1))
+        if has_existing:
+            existing = self.read(buckets=affected, include_deleted=True)
+            existing = (
+                existing
+                .withColumn(seq_col, F.col(SEQ_META_COL))
+                .withColumn(op_col, F.col(OP_META_COL))
+                .withColumn("_prio", F.lit(0))
+                .drop(SEQ_META_COL, OP_META_COL)
+            )
+        else:
+            existing = None  # first batch / untouched buckets: nothing to merge
 
         # 3) union (schema-aligned) → ONE per-key LWW → drop delete-winners.
         #    max_by is associative, so deduping the raw batch together with the
@@ -249,7 +264,10 @@ class LakeTable:
         #    batch win seq ties against existing rows. The Arrow-UDF transform
         #    upstream of `batch` executes exactly once, inside the write job.
         #    Winner metrics ride the same job via observe() — no extra pass.
-        merged = existing.unionByName(incoming, allowMissingColumns=True)
+        merged = (
+            existing.unionByName(incoming, allowMissingColumns=True)
+            if existing is not None else incoming
+        )
         winners = lww_dedupe(
             merged, keys, seq_col=seq_col,
             tiebreakers=["_prio"] + (tiebreakers or []),

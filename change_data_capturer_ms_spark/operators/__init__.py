@@ -2,6 +2,11 @@ from change_data_capturer_ms_spark.operators.dedupe import (
     lww_dedupe,
     lww_dedupe_window,
     salted_repartition,
+    streaming_dedupe_within_watermark,
+)
+from change_data_capturer_ms_spark.operators.grouped import (
+    weighted_mean_agg,
+    zscore_normalize,
 )
 from change_data_capturer_ms_spark.operators.dedup_docs import (
     exact_dedup,
@@ -34,6 +39,7 @@ from change_data_capturer_ms_spark.operators.multimodal import (
 
 __all__ = [
     "lww_dedupe", "lww_dedupe_window", "salted_repartition",
+    "streaming_dedupe_within_watermark", "weighted_mean_agg", "zscore_normalize",
     "exact_dedup", "minhash_lsh_pairs", "minhash_signatures",
     "ngram_jaccard_pairs", "simhash", "simhash_dup_pairs", "word_shingles",
     "brute_force_topk", "cosine_sim", "embedding_near_dup_pairs", "lsh_topk",

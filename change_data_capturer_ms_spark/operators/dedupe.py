@@ -64,6 +64,27 @@ def lww_dedupe_window(
     )
 
 
+def streaming_dedupe_within_watermark(
+    stream_df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming duplicate suppression bounded by an event-time watermark
+    (SURVEY.md §2.2 E19).
+
+    The batch LWW dedupe (above) is exact but needs the whole batch; on an
+    unbounded stream, exact dedupe state grows forever. This variant keeps
+    per-key state only within the watermark horizon — the right tool for
+    at-least-once sources that re-deliver recent events (the reference replays
+    the last page after a crash, /root/reference/src/capturer/cosmos/cosmos.ts:91-105).
+    Late duplicates beyond the watermark are handled by the idempotent MERGE
+    downstream (same key, same seq ⇒ same winner), so end-to-end semantics stay
+    exactly-once even when this operator's state has expired.
+    """
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def salted_repartition(
     df: DataFrame,
     hot_cols: list[str],

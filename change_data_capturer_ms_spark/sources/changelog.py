@@ -61,6 +61,7 @@ def gen_changelog(
     start_seq: int = 0,
     seq_bucket_size: int = 1_000_000,
     evolution_point: int | None = None,
+    body_repeat: int = 1,
 ) -> DataFrame:
     """Deterministic synthetic change log (FIXTURES.md §1), computed on executors.
 
@@ -129,7 +130,10 @@ def gen_changelog(
                     F.concat(F.lit("rev="), F.col("seq").cast("string")),
                     F.repeat(
                         F.concat(F.lit("line-"), (h("body") % 997).cast("string"), F.lit(";")),
-                        (h("len") % 20 + 1).cast("int"),
+                        # body_repeat scales content bytes toward realistic
+                        # source-file sizes (default ~0.15 KB; bench scaling
+                        # uses larger) without touching key/op distributions
+                        ((h("len") % 20 + 1) * body_repeat).cast("int"),
                     ),
                 )
             ),

@@ -1,3 +1,4 @@
 from change_data_capturer_ms_spark.streaming.pipeline import CDCPipeline, prepare_batch
+from change_data_capturer_ms_spark.streaming.stateful import running_key_stats
 
-__all__ = ["CDCPipeline", "prepare_batch"]
+__all__ = ["CDCPipeline", "prepare_batch", "running_key_stats"]

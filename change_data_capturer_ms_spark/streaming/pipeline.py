@@ -86,6 +86,7 @@ class CDCPipeline:
         cfg: EngineConfig | None = None,
         use_pandas_udfs: bool = True,
         collect_lineage: bool = True,
+        flatten_props: bool = False,
     ):
         self.spark = spark
         self.reader = ChangeLogReader(spark, log_path)
@@ -95,6 +96,7 @@ class CDCPipeline:
         self.cfg = cfg or EngineConfig()
         self.use_pandas_udfs = use_pandas_udfs
         self.collect_lineage = collect_lineage
+        self.flatten_props = flatten_props
         self.lease_dir = os.path.join(table.path, "_lease")
 
     # -- lease (inspectable resume state) ------------------------------------
@@ -124,7 +126,8 @@ class CDCPipeline:
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> dict:
         """foreachBatch body: prepare → merge (idempotent) → lease."""
-        prepared = prepare_batch(batch_df, self.cfg, self.use_pandas_udfs)
+        prepared = prepare_batch(batch_df, self.cfg, self.use_pandas_udfs,
+                                 flatten_props=self.flatten_props)
         if not self.table.exists():
             # CREATE TABLE IF NOT EXISTS semantics (reference getOrCreateMongoCollection,
             # /root/reference/src/capturer/mongo/utils.ts:51-70): payload schema =
@@ -132,18 +135,47 @@ class CDCPipeline:
             from pyspark.sql import types as T
             payload = [f for f in prepared.schema.fields if f.name not in ("seq", "op")]
             self.table.create(T.StructType(payload))
+
+        # ONE cheap planning job over pruned raw columns yields BOTH the
+        # per-input-partition lineage (north_star) and the per-bucket stats the
+        # MERGE needs — grouped by (partition, bucket), collect is bounded by
+        # partitions x buckets rows, never data-proportional. The Arrow-UDF
+        # transform is untouched here (columns pruned) and runs only in the
+        # MERGE write job.
+        from change_data_capturer_ms_spark.lake.table import bucket_expr
+
+        m = self.table.manifest()  # bucket layout is the manifest's, not cfg's
+        keys = m.key_cols
+        pre = (
+            batch_df.filter(F.col("op").isin(*self.cfg.captured_ops))
+            .select(*keys, "seq")
+            .withColumn("_bucket", bucket_expr(keys, m.n_buckets))
+        )
+        rows = (
+            pre.groupBy(F.spark_partition_id().alias("p"), "_bucket")
+            .agg(F.min("seq").alias("lo"), F.max("seq").alias("hi"),
+                 F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
         lineage = None
         if self.collect_lineage:
-            # per-input-partition seq ranges (north_star lineage); one small agg job
+            per_part: dict[int, list] = {}
+            for r in rows:
+                acc = per_part.setdefault(int(r["p"]), [r["lo"], r["hi"], 0])
+                acc[0] = min(acc[0], r["lo"])
+                acc[1] = max(acc[1], r["hi"])
+                acc[2] += r["n"]
             lineage = [
-                {"partition": int(r["p"]), "first_seq": int(r["lo"]),
-                 "last_seq": int(r["hi"]), "rows": int(r["n"])}
-                for r in batch_df.select("seq")  # column-pruned scan
-                .groupBy(F.spark_partition_id().alias("p"))
-                .agg(F.min("seq").alias("lo"), F.max("seq").alias("hi"),
-                     F.count(F.lit(1)).alias("n"))
-                .collect()
+                {"partition": p, "first_seq": int(lo), "last_seq": int(hi), "rows": int(n)}
+                for p, (lo, hi, n) in sorted(per_part.items())
             ]
+        per_bucket: dict[int, list] = {}
+        for r in rows:
+            acc = per_bucket.setdefault(int(r["_bucket"]), [0, r["hi"]])
+            acc[0] += r["n"]
+            acc[1] = max(acc[1], r["hi"])
+        planning_stats = [(b, n, int(hi)) for b, (n, hi) in per_bucket.items()]
+
         result = self.table.merge(
             prepared,
             seq_col="seq",
@@ -152,9 +184,7 @@ class CDCPipeline:
             source_id=self.source_id,
             tiebreakers=["token"],
             lineage=lineage,
-            # planning frame = same rows, pre-transform: the affected-bucket agg
-            # reads only (keys, op, seq) straight off the scan, no salt shuffle
-            planning_df=batch_df.filter(F.col("op").isin(*self.cfg.captured_ops)),
+            planning_stats=planning_stats,
         )
         if not result.get("skipped"):
             lease = self.table.lease()
