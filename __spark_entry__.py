@@ -548,6 +548,17 @@ def q_embed_lsh_ann(spark, sf_dir):
     return lsh_topk(emb, queries, k=5, bits=4)
 
 
+def q_embed_ivf_ann(spark, sf_dir):
+    """IVF ANN: seeded KMeans coarse quantizer + nprobe search. Iterative
+    training is not SQL-expressible → rows-only check; recall vs brute force
+    is asserted in tests/test_similarity_ivf.py."""
+    from change_data_capturer_ms_spark.operators import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return ivf_topk(emb, queries, k=5, n_cells=8, nprobe=3)
+
+
 def q_embed_near_dup(spark, sf_dir):
     return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3, bits=4)
 
@@ -664,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "embed_knn_brute": q_embed_knn_brute,
         "embed_lsh_ann": q_embed_lsh_ann,
+        "embed_ivf_ann": q_embed_ivf_ann,
         "embed_near_dup": q_embed_near_dup,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,

@@ -1,5 +1,6 @@
 from change_data_capturer_ms_spark.operators.dedupe import (
     lww_dedupe,
+    lww_dedupe_two_phase,
     lww_dedupe_window,
     salted_repartition,
     streaming_dedupe_within_watermark,
@@ -21,6 +22,7 @@ from change_data_capturer_ms_spark.operators.similarity import (
     brute_force_topk,
     cosine_sim,
     embedding_near_dup_pairs,
+    ivf_topk,
     lsh_topk,
 )
 from change_data_capturer_ms_spark.operators.text import (
@@ -38,11 +40,12 @@ from change_data_capturer_ms_spark.operators.multimodal import (
 )
 
 __all__ = [
-    "lww_dedupe", "lww_dedupe_window", "salted_repartition",
+    "lww_dedupe", "lww_dedupe_two_phase", "lww_dedupe_window", "salted_repartition",
     "streaming_dedupe_within_watermark", "weighted_mean_agg", "zscore_normalize",
     "exact_dedup", "minhash_lsh_pairs", "minhash_signatures",
     "ngram_jaccard_pairs", "simhash", "simhash_dup_pairs", "word_shingles",
-    "brute_force_topk", "cosine_sim", "embedding_near_dup_pairs", "lsh_topk",
+    "brute_force_topk", "cosine_sim", "embedding_near_dup_pairs", "ivf_topk",
+    "lsh_topk",
     "doc_fingerprint", "lang_id_builtin", "lang_id_pandas", "quality_scores",
     "token_count_bpe_ish", "token_count_ws",
     "extract_media_features", "frame_sample", "synth_media",

@@ -64,6 +64,40 @@ def lww_dedupe_window(
     )
 
 
+def lww_dedupe_two_phase(
+    df: DataFrame,
+    keys: list[str],
+    seq_col: str = "seq",
+    tiebreakers: list[str] | None = None,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """LWW dedupe for residual single-hot-key skew (SURVEY.md §2.2 E17).
+
+    When ONE key carries a dominant share of a batch (one file force-pushed
+    millions of times), the single-phase aggregation funnels all its rows into
+    one reducer. Phase 1 groups by (key, salt) where salt = pmod(seq, S) — a
+    pure row function, so results stay exact — reducing the hot key to at most
+    S candidates spread over S reducers; phase 2 reduces the S candidates per
+    key. Uniform keys pay one extra tiny shuffle (candidates only), so this is
+    the opt-in variant; `lww_dedupe` remains the default. Equality with the
+    single-phase operator is asserted in tests.
+    """
+    tiebreakers = tiebreakers or []
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    order = _ordering_struct(seq_col, tiebreakers)
+    salted = df.withColumn("_salt", F.pmod(F.col(seq_col), F.lit(salt_buckets)))
+    phase1 = (
+        salted.groupBy(*[F.col(k) for k in keys], F.col("_salt"))
+        .agg(F.max_by(payload, order).alias("_w"))
+        .select(*[F.col(f"_w.{c}").alias(c) for c in df.columns])
+    )
+    phase2 = (
+        phase1.groupBy(*[F.col(k) for k in keys])
+        .agg(F.max_by(F.struct(*[F.col(c) for c in df.columns]), order).alias("_w"))
+    )
+    return phase2.select(*[F.col(f"_w.{c}").alias(c) for c in df.columns])
+
+
 def streaming_dedupe_within_watermark(
     stream_df: DataFrame,
     keys: list[str],

@@ -113,6 +113,80 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 5,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means coarse quantizer.
+
+    Train: pyspark.ml KMeans (seeded, fixed iterations — deterministic for a
+    given input) learns `n_cells` centroids; every corpus vector is assigned to
+    its nearest cell. Search: each query probes its `nprobe` nearest cells and
+    scans only those inverted lists — cost ~ corpus * nprobe / n_cells.
+
+    Scale path: centroids are tiny (n_cells x dim) and broadcast; the cell
+    assignment is one pass; the probe join is a broadcast equi-join on cell id,
+    exactly the `lsh_topk` plan shape with a learned bucketer. At 100 TB the
+    train step runs on a sample (`corpus.sample`), not the full corpus.
+
+    Iterative training is not SQL-expressible — driver records a rows-only
+    check; recall vs `brute_force_topk` is asserted in tests.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.sql import Window
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
+    train = c.withColumn("features", array_to_vector("cv"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter, initMode="k-means||") \
+        .fit(train)
+    assigned = model.transform(train).withColumnRenamed("prediction", "cell") \
+        .select("neighbor_id", "cv", "cell")
+
+    # centroid table (tiny) for query-side probe assignment
+    cents = [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())]
+    cent_df = corpus.sparkSession.createDataFrame(cents, "cell int, centroid array<double>")
+
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+    # nprobe nearest centroids per query (cross join with the tiny centroid table)
+    qc = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn(
+            "dist",
+            F.aggregate(
+                F.zip_with(F.col("qv"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda acc, v: acc + v,
+            ),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("dist"), F.col("cell"))
+    probes = (
+        qc.withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probes), ["cell"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_sim(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cell",
+                F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.99,

@@ -186,6 +186,19 @@ class TestSkew:
         b = lww_dedupe_window(log, ["repo", "path"], "seq", ["token"])
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
+    def test_two_phase_dedupe_exact_on_single_hot_key(self, spark):
+        """E17 residual skew: ONE key carries most of the batch; the two-phase
+        (key, pmod(seq, S)) reduction must equal the single-phase result."""
+        from change_data_capturer_ms_spark.operators.dedupe import lww_dedupe_two_phase
+
+        log = gen_changelog(spark, 4000, seed=10, n_repos=3, paths_per_repo=1,
+                            hot_repo_fraction=0.8)
+        top = log.groupBy("repo", "path").count().orderBy(F.desc("count")).first()
+        assert top["count"] > 2500  # genuinely one hot key
+        a = lww_dedupe(log, ["repo", "path"], "seq", ["token"])
+        b = lww_dedupe_two_phase(log, ["repo", "path"], "seq", ["token"], salt_buckets=8)
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
 
 class TestTombstones:
     def test_out_of_order_batch_cannot_resurrect_deleted_key(self, spark, tmpdir_path):
