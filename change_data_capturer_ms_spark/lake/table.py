@@ -148,6 +148,47 @@ class LakeTable:
             )
         return df
 
+    def lookup(self, key_values: dict[str, object],
+               version: int | None = None) -> DataFrame:
+        """Point lookup by full key (reference findDocumentByID,
+        /root/reference/src/capturer/mongo/utils.ts:80-96).
+
+        The key hashes to exactly one bucket, so only that bucket's files are
+        read — O(table/n_buckets) scan regardless of table size, with the
+        equality predicates pushed into the parquet scan on top.
+        """
+        m = self.manifest(version)
+        missing = [k for k in m.key_cols if k not in key_values]
+        if missing:
+            raise ValueError(f"lookup requires all key columns; missing {missing}")
+        row = self.spark.range(1).select(
+            *[F.lit(key_values[k]).alias(k) for k in m.key_cols]
+        ).select(bucket_expr(m.key_cols, m.n_buckets).alias("b")).first()
+        df = self.read(version=version, buckets={int(row["b"])})
+        for k in m.key_cols:
+            df = df.filter(F.col(k) == F.lit(key_values[k]))
+        return df
+
+    def read_incremental(self, since_version: int,
+                         include_deleted: bool = True) -> DataFrame:
+        """Rows changed AFTER snapshot `since_version` (CDC read of the lake —
+        downstream consumers tail the table the way this engine tails its own
+        source). A row changed iff its `_last_seq` exceeds the max applied seq
+        of the older snapshot; deletes surface as tombstone rows so consumers
+        can propagate them (`include_deleted=False` to skip).
+
+        The `_last_seq` predicate prunes files via manifest max_seq stats
+        before any scan."""
+        old = self.store.load(since_version)
+        watermark = int(old.lease.get("metrics", {}).get("max_seq", -1) or -1)
+        m = self.manifest()
+        buckets = {
+            f.bucket for f in m.files
+            if f.max_seq is None or f.max_seq > watermark
+        }
+        df = self.read(buckets=buckets, include_deleted=include_deleted)
+        return df.filter(F.col(SEQ_META_COL) > watermark)
+
     def committed_batches(self) -> set[str]:
         return set(self.manifest().committed_batches)
 

@@ -248,6 +248,52 @@ class TestTombstones:
         assert pipe.table.lease()["id"] == "changelog"
 
 
+class TestLakeReads:
+    def test_point_lookup_prunes_to_one_bucket(self, spark, tmpdir_path):
+        pipe, _ = _pipe(spark, tmpdir_path)
+        pipe.apply_batch(gen_changelog(spark, 1500, seed=15, n_repos=10, paths_per_repo=5),
+                         batch_id=0)
+        any_row = pipe.table.read().select("repo", "path", "content_sha256").first()
+        got = pipe.table.lookup({"repo": any_row["repo"], "path": any_row["path"]})
+        rows = got.collect()
+        assert len(rows) == 1
+        assert rows[0]["content_sha256"] == any_row["content_sha256"]
+        # the physical scan covers at most one bucket's files
+        m = pipe.table.manifest()
+        per_bucket = {}
+        for f in m.files:
+            per_bucket.setdefault(f.bucket, []).append(f)
+        n_scanned = got._jdf.queryExecution().executedPlan().toString().count(".parquet")
+        assert n_scanned <= max(len(v) for v in per_bucket.values())
+        with pytest.raises(ValueError, match="missing"):
+            pipe.table.lookup({"repo": "r"})
+
+    def test_read_incremental_returns_only_later_changes(self, spark, tmpdir_path):
+        pipe, _ = _pipe(spark, tmpdir_path)
+        pipe.apply_batch(gen_changelog(spark, 1000, seed=16, n_repos=10, paths_per_repo=5),
+                         batch_id=0)
+        v1 = pipe.table.manifest().version
+        pipe.apply_batch(
+            gen_changelog(spark, 400, seed=16, n_repos=10, paths_per_repo=5,
+                          start_seq=1000),
+            batch_id=1,
+        )
+        inc = pipe.table.read_incremental(since_version=v1)
+        assert inc.count() > 0
+        assert inc.filter(F.col("_last_seq") < 1000).count() == 0
+        # live-only variant drops tombstones
+        live = pipe.table.read_incremental(since_version=v1, include_deleted=False)
+        assert live.filter(F.col("_last_op") == "delete").count() == 0
+        # changed keys match a direct LWW diff of the log
+        expect = (
+            gen_changelog(spark, 400, seed=16, n_repos=10, paths_per_repo=5,
+                          start_seq=1000)
+            .groupBy("repo", "path").agg(F.max("seq").alias("m"))
+        )
+        got_keys = inc.select("repo", "path").distinct()
+        assert got_keys.exceptAll(expect.select("repo", "path")).count() == 0
+
+
 class TestMaintenance:
     def test_compact_preserves_state_and_lease(self, spark, tmpdir_path):
         pipe, log_dir = _pipe(spark, tmpdir_path)
