@@ -469,6 +469,49 @@ def q_streaming_window_counts(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """E8+: as-of join (latest purchase at or before each click, per user) —
+    union + ordered-window composition, one key shuffle, no nested-loop join.
+    DuckDB's native ASOF JOIN is the oracle."""
+    from change_data_capturer_ms_spark.operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")  # dedupe equal timestamps deterministically
+        .agg(F.max("event_id").alias("last_purchase_id"))
+        .withColumn(
+            "p_epoch",
+            F.floor(F.col("ts").cast("timestamp").cast("double")).cast("long"),
+        )
+    )
+    c = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    out = asof_join(c, p, on=["user_id"], left_ts="ts", right_ts="ts",
+                    right_cols=["last_purchase_id", "p_epoch"],
+                    tiebreaker="last_purchase_id")
+    return out.select("event_id", "user_id", "last_purchase_id", "p_epoch")
+
+
+def q_range_join(spark, sf_dir):
+    """E8+: bucketed range join — clicks in the 30 minutes before each purchase
+    (per user), bounded by coarse time-bucket equi-join instead of an
+    inequality nested loop."""
+    from change_data_capturer_ms_spark.operators.joins import range_join_bucketed
+
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    c = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    pairs = range_join_bucketed(p, c, on=["user_id"], probe_ts="ts",
+                                build_ts="ts", window_sec=1800)
+    counts = pairs.groupBy("purchase_id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        p.select("purchase_id").join(counts, "purchase_id", "left")
+        .select("purchase_id", F.coalesce("n", F.lit(0)).alias("n_recent_clicks"))
+    )
+
+
 def q_stateful_running_stats(spark, sf_dir):
     """E18/E22: applyInPandasWithState — per-user cumulative stats across two
     real micro-batches; the final state per key equals the batch aggregate
@@ -668,6 +711,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "streaming_window_counts": q_streaming_window_counts,
         "stateful_running_stats": q_stateful_running_stats,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
@@ -946,6 +991,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, COUNT(*)::BIGINT AS n_events, "
             "MAX(event_id)::BIGINT AS max_event_id, "
             "ROUND(SUM(value), 2) AS sum_value FROM events GROUP BY user_id"
+        ),
+        "asof_join": (
+            "WITH p AS (SELECT user_id, ts, MAX(event_id) AS last_purchase_id, "
+            "  (epoch_us(ts) // 1000000)::BIGINT AS p_epoch FROM events "
+            "  WHERE event_type = 'purchase' GROUP BY user_id, ts), "
+            "c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') "
+            "SELECT c.event_id, c.user_id, p.last_purchase_id, p.p_epoch "
+            "FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts"
+        ),
+        "range_join": (
+            "WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events "
+            "  WHERE event_type = 'purchase'), "
+            "c AS (SELECT user_id, ts FROM events WHERE event_type = 'click') "
+            "SELECT p.purchase_id, COUNT(c.ts)::BIGINT AS n_recent_clicks "
+            "FROM p LEFT JOIN c ON c.user_id = p.user_id "
+            "AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts < p.ts "
+            "GROUP BY p.purchase_id"
         ),
         "dedup_exact": (
             "SELECT sha256(text) AS text_sha256, MIN(doc_id)::BIGINT AS canonical_id, "
