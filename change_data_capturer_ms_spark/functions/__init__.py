@@ -5,6 +5,7 @@ from change_data_capturer_ms_spark.functions.hashing import (
 )
 from change_data_capturer_ms_spark.functions.classify import classify_op_pandas, OP_CLASSES
 from change_data_capturer_ms_spark.functions.flatten import flatten_json_col, PROPS_SCHEMA
+from change_data_capturer_ms_spark.functions.validate import validate_batch
 
 __all__ = [
     "content_sha256_builtin",
@@ -14,4 +15,5 @@ __all__ = [
     "OP_CLASSES",
     "flatten_json_col",
     "PROPS_SCHEMA",
+    "validate_batch",
 ]

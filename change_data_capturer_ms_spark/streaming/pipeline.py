@@ -87,6 +87,7 @@ class CDCPipeline:
         use_pandas_udfs: bool = True,
         collect_lineage: bool = True,
         flatten_props: bool = False,
+        quarantine_dir: str | None = None,
     ):
         self.spark = spark
         self.reader = ChangeLogReader(spark, log_path)
@@ -97,6 +98,7 @@ class CDCPipeline:
         self.use_pandas_udfs = use_pandas_udfs
         self.collect_lineage = collect_lineage
         self.flatten_props = flatten_props
+        self.quarantine_dir = quarantine_dir
         self.lease_dir = os.path.join(table.path, "_lease")
 
     # -- lease (inspectable resume state) ------------------------------------
@@ -125,7 +127,15 @@ class CDCPipeline:
     # -- apply ----------------------------------------------------------------
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> dict:
-        """foreachBatch body: prepare → merge (idempotent) → lease."""
+        """foreachBatch body: [validate →] prepare → merge (idempotent) → lease."""
+        if self.quarantine_dir:
+            # schema-on-read enforcement (reference io-ts decode-or-Left,
+            # cosmos/utils.ts:76-91): invalid rows go to the DLQ, valid rows on
+            from change_data_capturer_ms_spark.functions.validate import validate_batch
+
+            batch_df, quarantine = validate_batch(batch_df)
+            (quarantine.withColumn("_batch_id", F.lit(batch_id))
+             .write.mode("append").parquet(self.quarantine_dir))
         prepared = prepare_batch(batch_df, self.cfg, self.use_pandas_udfs,
                                  flatten_props=self.flatten_props)
         if not self.table.exists():

@@ -101,3 +101,46 @@ def test_real_decode_is_explicitly_stubbed(spark):
     docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
         extract_media_features(synth_media(docs), use_real_decode=True).collect()
+
+
+def test_validate_batch_quarantine_split(spark):
+    from change_data_capturer_ms_spark.functions.validate import validate_batch
+    import datetime
+
+    rows = [
+        (0, "t0", "insert", "r1", "p1", "c", "py", "body", datetime.datetime(2024, 1, 1), "{}", 0),
+        (1, "t1", "delete", "r1", "p2", "c", "py", None, datetime.datetime(2024, 1, 1), "{}", 0),
+        (2, "t2", "upsert-typo", "r1", "p3", "c", "py", "body", datetime.datetime(2024, 1, 1), "{}", 0),
+        (3, "t3", "insert", None, "p4", "c", "py", "body", datetime.datetime(2024, 1, 1), "{}", 0),
+        (4, "t4", "insert", "r1", "p5", "c", "py", None, datetime.datetime(2024, 1, 1), "{}", 0),
+    ]
+    schema = ("seq long, token string, op string, repo string, path string, commit string, "
+              "lang string, content string, ts timestamp, props string, seq_bucket long")
+    df = spark.createDataFrame(rows, schema)
+    valid, quar = validate_batch(df)
+    assert {r["seq"] for r in valid.collect()} == {0, 1}
+    reasons = {r["seq"]: list(r["_reasons"]) for r in quar.collect()}
+    assert reasons[2] == ["bad_op:upsert-typo"]
+    assert reasons[3] == ["null:repo"]
+    assert reasons[4] == ["null_content_for_upsert"]
+
+
+def test_pipeline_quarantine_dir(spark, tmpdir_path):
+    """Opt-in DLQ: invalid rows land in the quarantine dir; valid rows merge."""
+    from change_data_capturer_ms_spark.config import EngineConfig
+    from change_data_capturer_ms_spark.lake.table import LakeTable
+    from change_data_capturer_ms_spark.sources import gen_changelog
+    from change_data_capturer_ms_spark.streaming import CDCPipeline
+    from pyspark.sql import functions as F
+
+    good = gen_changelog(spark, 500, seed=18, n_repos=5, paths_per_repo=3)
+    bad = good.limit(10).withColumn("repo", F.lit(None).cast("string"))
+    table = LakeTable(spark, f"{tmpdir_path}/t", key_cols=["repo", "path"], n_buckets=4)
+    pipe = CDCPipeline(spark, f"{tmpdir_path}/l", table, f"{tmpdir_path}/c",
+                       cfg=EngineConfig(n_buckets=4), use_pandas_udfs=False,
+                       quarantine_dir=f"{tmpdir_path}/dlq")
+    pipe.apply_batch(good.unionByName(bad), batch_id=0)
+    dlq = spark.read.parquet(f"{tmpdir_path}/dlq")
+    assert dlq.count() == 10
+    assert dlq.filter(F.array_contains("_reasons", "null:repo")).count() == 10
+    assert table.read().filter(F.col("repo").isNull()).count() == 0
