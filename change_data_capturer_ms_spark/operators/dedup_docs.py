@@ -96,9 +96,14 @@ def minhash_signatures(
     One aggregation over exploded shingles; each min is partially aggregated
     map-side, so shuffle volume is docs × k longs regardless of shingle count.
     """
-    sh = word_shingles(df, text_col, id_col, n)
-    h = md5_long56(F.col("shingle"))
-    aggs = [F.min(minhash_perm(h, i)).alias(f"mh{i}") for i in range(len(MINHASH_PERMS))]
+    # materialize the md5 hash as a projected column: aggregate expressions get
+    # no common-subexpression elimination, so embedding md5_long56 in each of
+    # the k min() aggs would hash every shingle k times
+    sh = word_shingles(df, text_col, id_col, n).withColumn(
+        "h", md5_long56(F.col("shingle"))
+    )
+    aggs = [F.min(minhash_perm(F.col("h"), i)).alias(f"mh{i}")
+            for i in range(len(MINHASH_PERMS))]
     return sh.groupBy("id").agg(*aggs)
 
 
@@ -124,23 +129,34 @@ def minhash_lsh_pairs(
     assert k % bands == 0
     rows = k // bands
     sig = minhash_signatures(df, text_col, id_col, n)
-    cand = None
-    for bidx in range(bands):
-        cols = [f"mh{i}" for i in range(bidx * rows, (bidx + 1) * rows)]
-        a = sig.alias("a")
-        b = sig.alias("b")
-        cond = (F.col("a.id") < F.col("b.id"))
-        for c in cols:
-            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-        pairs = a.join(b, cond).select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            *[F.col(f"a.mh{i}").alias(f"a_mh{i}") for i in range(k)],
-            *[F.col(f"b.mh{i}").alias(f"b_mh{i}") for i in range(k)],
-        )
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.dropDuplicates(["id_a", "id_b"])
-    agree = sum(
-        F.when(F.col(f"a_mh{i}") == F.col(f"b_mh{i}"), 1).otherwise(0) for i in range(k)
+    # explode each doc to (band_idx, band_key) rows and self-join ONCE on the
+    # band key — the per-band-loop formulation would recompute the signature
+    # aggregation 2*bands times; this computes it once per side and turns the
+    # band dimension into data, the scalable shape (band buckets co-partition)
+    banded = sig.select(
+        "id",
+        F.array(*[F.col(f"mh{i}") for i in range(k)]).alias("sig"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(bidx).alias("band"),
+                F.array(*[F.col(f"mh{i}")
+                          for i in range(bidx * rows, (bidx + 1) * rows)]).alias("key"),
+            )
+            for bidx in range(bands)
+        ])).alias("bk"),
+    ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+        .dropDuplicates(["id_a", "id_b"])  # a pair may collide in several bands
+    )
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0), lambda acc, v: acc + v,
     )
     out = cand.withColumn("est_jaccard", F.round(agree / F.lit(float(k)), 6)).filter(
         F.col("est_jaccard") >= min_est
