@@ -51,7 +51,7 @@ from change_data_capturer_ms_spark.operators import (
 )
 from change_data_capturer_ms_spark.operators.similarity import embedding_near_dup_pairs
 
-_VER = "r1d"  # bump to invalidate cached temp tables when semantics change
+_VER = "r1e"  # bump to invalidate cached temp tables when semantics change
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -117,13 +117,29 @@ def q_merge_upsert(spark, sf_dir):
             "op",
             F.when(F.col("event_type") == "error", "delete").otherwise("insert"),
         ).withColumnRenamed("event_id", "seq").drop("props", "ts")
-        mid = e.agg(F.expr("percentile_approx(seq, 0.5)")).collect()[0][0]
+        # deterministic split point (max//2) so the v1 snapshot is
+        # oracle-rederivable for the time_travel query
+        mid = e.agg(F.floor(F.max("seq") / 2)).collect()[0][0]
         payload = [f for f in e.schema.fields if f.name not in ("seq", "op")]
         table.create(T.StructType(payload))
         table.merge(e.filter(F.col("seq") <= mid), batch_id=0)
         table.merge(e.filter(F.col("seq") > mid), batch_id=1)
     out = table.read()
     return out.select(
+        "user_id", F.col("_last_seq").alias("event_id"), "event_type", "value"
+    )
+
+
+def q_time_travel(spark, sf_dir):
+    """Snapshot time travel: read the table AS OF version 1 (after only the
+    first micro-batch, events with seq <= max//2) — the manifest retains every
+    snapshot's exact file set, so the oracle is the LWW state of the log
+    prefix."""
+    q_merge_upsert(spark, sf_dir)  # ensure the two-batch lake exists
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    table = LakeTable(spark, f"/tmp/cdc_q_merge_{_VER}_{tag}", key_cols=["user_id"])
+    v1 = table.read(version=1)
+    return v1.select(
         "user_id", F.col("_last_seq").alias("event_id"), "event_type", "value"
     )
 
@@ -681,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classify_op": q_classify_op,
         "lww_dedupe": q_lww_dedupe,
         "merge_upsert": q_merge_upsert,
+        "time_travel": q_time_travel,
         "join_broadcast": q_join_broadcast,
         "join_multiway": q_join_multiway,
         "join_semi": q_join_semi,
@@ -834,6 +851,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_id, event_type, value FROM ("
             "  SELECT user_id, event_id, event_type, value, ROW_NUMBER() OVER ("
             "    PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events) "
+            "WHERE rn = 1 AND event_type <> 'error'"
+        ),
+        "time_travel": (
+            "SELECT user_id, event_id, event_type, value FROM ("
+            "  SELECT user_id, event_id, event_type, value, ROW_NUMBER() OVER ("
+            "    PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events "
+            "  WHERE event_id <= (SELECT MAX(event_id) // 2 FROM events)) "
             "WHERE rn = 1 AND event_type <> 'error'"
         ),
         "join_broadcast": (
