@@ -44,8 +44,12 @@ def validate_batch(
     reasons = []
     for c in required:
         reasons.append(F.when(F.col(c).isNull(), F.lit(f"null:{c}")))
+    # NULL-safe: `isin` is NULL (not FALSE) for a NULL op, so `~isin` alone
+    # would never fire and NULL-op rows would bypass the DLQ only to be dropped
+    # silently by the captured-ops filter downstream — violating the module's
+    # never-silently-dropped contract
     reasons.append(
-        F.when(~F.col(op_col).isin(*allowed_ops),
+        F.when(F.col(op_col).isNull() | ~F.col(op_col).isin(*allowed_ops),
                F.concat(F.lit("bad_op:"), F.coalesce(F.col(op_col), F.lit("<null>"))))
     )
     reasons.append(
@@ -54,7 +58,8 @@ def validate_batch(
     )
     if content_col is not None:
         reasons.append(
-            F.when(F.col(content_col).isNull() & (F.col(op_col) != delete_op),
+            F.when(F.col(content_col).isNull()
+                   & ~F.col(op_col).eqNullSafe(delete_op),
                    F.lit("null_content_for_upsert"))
         )
     tagged = df.withColumn(

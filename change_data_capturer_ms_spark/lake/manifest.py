@@ -18,8 +18,14 @@ per-partition lineage and row/byte metrics (north_star).
 
 Scale note: at 10^10 events a JSON file list would be replaced by Avro manifest files
 with a manifest-list indirection (the Iceberg layout); the commit protocol —
-write-new-files → write-manifest → atomic pointer swap — is unchanged. The ledger
-stays O(batches), and could be pruned to a high-watermark per source.
+write-new-files → write-manifest → atomic pointer swap — is unchanged.
+
+Ledger bound: numeric batch ids (the streaming engine's monotone epoch ids) fold
+into a per-source high watermark (`batch_watermarks[source] = hw` ⇔ every numeric
+id ≤ hw committed); only out-of-order numeric ids above the watermark plus
+non-numeric ids stay in `committed_batches` verbatim. Maintenance entries keep a
+short tail for audit. The manifest therefore stays O(1) per source over an
+unbounded batch history instead of O(all batches forever).
 """
 
 from __future__ import annotations
@@ -46,6 +52,49 @@ class FileEntry:
         return cls(**d)
 
 
+MAINTENANCE_TAIL = 16  # audit tail of maintenance ledger entries kept per manifest
+
+
+def _split_ledger_key(key: str) -> tuple[str, str]:
+    src, _, bid = key.rpartition(":")
+    return src, bid
+
+
+def prune_ledger(
+    committed: list[str], watermarks: dict[str, int]
+) -> tuple[list[str], dict[str, int]]:
+    """Fold contiguous numeric batch ids into per-source high watermarks.
+
+    Returns (pruned committed list, updated watermarks). A numeric id ≤ the
+    source's watermark is dropped from the list (the watermark proves it);
+    non-numeric ids are kept verbatim, except `maintenance:*` entries which keep
+    only the most recent MAINTENANCE_TAIL (they are version-unique audit marks,
+    never re-checked for idempotence).
+    """
+    wm = dict(watermarks)
+    numeric: dict[str, set[int]] = {}
+    for key in committed:
+        src, bid = _split_ledger_key(key)
+        if not src.startswith("maintenance") and bid.lstrip("-").isdigit():
+            numeric.setdefault(src, set()).add(int(bid))
+    for src, ids in numeric.items():
+        hw = wm.get(src, -1)
+        while hw + 1 in ids:
+            hw += 1
+        wm[src] = hw
+    out: list[str] = []
+    maint: list[str] = []
+    for key in committed:
+        src, bid = _split_ledger_key(key)
+        if src.startswith("maintenance"):
+            maint.append(key)
+        elif bid.lstrip("-").isdigit() and int(bid) <= wm.get(src, -1):
+            continue  # covered by the watermark
+        else:
+            out.append(key)
+    return out + maint[-MAINTENANCE_TAIL:], wm
+
+
 @dataclass
 class Manifest:
     version: int
@@ -58,6 +107,17 @@ class Manifest:
     committed_batches: list[str]  # "source_id:batch_id" idempotence ledger
     lease: dict  # {id, lease, batch_id, lineage, metrics}
     committed_at: float = 0.0
+    # per-source high watermark: every numeric batch id ≤ hw is committed
+    batch_watermarks: dict = field(default_factory=dict)
+
+    def is_committed(self, source_id: str, batch_id) -> bool:
+        """Exactly-once check: ledger entry OR covered by the source watermark."""
+        if f"{source_id}:{batch_id}" in self.committed_batches:
+            return True
+        s = str(batch_id)
+        if s.lstrip("-").isdigit():
+            return int(s) <= self.batch_watermarks.get(source_id, -1)
+        return False
 
     @property
     def schema(self) -> T.StructType:

@@ -223,7 +223,7 @@ class LakeTable:
         """
         m = self.manifest()
         ledger_key = f"{source_id}:{batch_id}"
-        if ledger_key in m.committed_batches:
+        if m.is_committed(source_id, batch_id):
             return {"skipped": True, "version": m.version, "batch_id": batch_id}
 
         keys = m.key_cols
@@ -271,7 +271,12 @@ class LakeTable:
                 .collect()
             )  # bounded by n_buckets rows — never data-proportional
         if not agg:
-            metrics = {"rows": 0, "upserts": 0, "deletes": 0}
+            # carry the parent's max_seq forward: an empty commit must not reset
+            # the incremental-read watermark, or read_incremental(since_version=V)
+            # on this snapshot falls back to -1 and re-emits the whole table
+            parent_max_seq = int(m.lease.get("metrics", {}).get("max_seq", -1) or -1)
+            metrics = {"rows": 0, "upserts": 0, "deletes": 0,
+                       "max_seq": parent_max_seq}
             self._commit(m, m.files, schema, schema_version, ledger_key,
                          source_id, batch_id, lease_token, metrics, lineage)
             return {"skipped": False, "version": m.version + 1, "batch_id": batch_id,
@@ -379,12 +384,22 @@ class LakeTable:
         }
         if not victims:
             return {"compacted_buckets": 0, "version": m.version}
-        df = self.read(buckets=set(victims))
+        # include_deleted=True: tombstones MUST survive compaction — dropping them
+        # reintroduces the resurrection bug they exist to prevent (a later batch
+        # with older seqs would bring the key back) and silently breaks delete
+        # propagation in read_incremental
+        df = self.read(buckets=set(victims), include_deleted=True)
         new_files = self._write_buckets(df, m.key_cols, m.n_buckets,
                                         m.version + 1, len(victims))
         carried = [f for f in m.files if f.bucket not in victims]
         # maintenance commit: same atomic protocol, but the resume lease is
         # carried over untouched — compaction must never move the CDC cursor
+        from change_data_capturer_ms_spark.lake.manifest import prune_ledger
+
+        batches, watermarks = prune_ledger(
+            m.committed_batches + [f"maintenance:compact-v{m.version + 1}"],
+            m.batch_watermarks,
+        )
         new = Manifest(
             version=m.version + 1,
             parent=m.version,
@@ -393,9 +408,9 @@ class LakeTable:
             n_buckets=m.n_buckets,
             key_cols=m.key_cols,
             files=carried + new_files,
-            committed_batches=m.committed_batches
-            + [f"maintenance:compact-v{m.version + 1}"],
+            committed_batches=batches,
             lease=dict(m.lease),
+            batch_watermarks=watermarks,
         )
         self.store.commit(new, expected_parent=m.version)
         return {"compacted_buckets": len(victims), "version": m.version + 1,
@@ -413,7 +428,13 @@ class LakeTable:
         m = self.manifest()
         if OP_META_COL not in m.schema.fieldNames():
             return {"expired": 0, "version": m.version}
-        expirable = (F.col(OP_META_COL) == "delete") & (F.col(SEQ_META_COL) < min_seq)
+        # null-safe: legacy rows with NULL _last_op are live; under three-valued
+        # logic a plain `== 'delete'` predicate would make ~expirable NULL and
+        # silently drop them in the keep-filter below
+        expirable = F.coalesce(
+            F.col(OP_META_COL).eqNullSafe("delete") & (F.col(SEQ_META_COL) < min_seq),
+            F.lit(False),
+        )
         # candidate files by min_seq stats, then exact bucket set in one small agg
         cand = {f.bucket for f in m.files if f.min_seq is None or f.min_seq < min_seq}
         if not cand:
@@ -431,6 +452,12 @@ class LakeTable:
         new_files = self._write_buckets(keep, m.key_cols, m.n_buckets,
                                         m.version + 1, len(victims))
         carried = [f for f in m.files if f.bucket not in victims]
+        from change_data_capturer_ms_spark.lake.manifest import prune_ledger
+
+        batches, watermarks = prune_ledger(
+            m.committed_batches + [f"maintenance:expire-tombstones-v{m.version + 1}"],
+            m.batch_watermarks,
+        )
         new = Manifest(
             version=m.version + 1,
             parent=m.version,
@@ -439,38 +466,62 @@ class LakeTable:
             n_buckets=m.n_buckets,
             key_cols=m.key_cols,
             files=carried + new_files,
-            committed_batches=m.committed_batches
-            + [f"maintenance:expire-tombstones-v{m.version + 1}"],
+            committed_batches=batches,
             lease=dict(m.lease),
+            batch_watermarks=watermarks,
         )
         self.store.commit(new, expected_parent=m.version)
         return {"expired_buckets": len(victims), "version": m.version + 1}
 
-    def expire_snapshots(self, keep_last: int = 2) -> dict:
+    def expire_snapshots(self, keep_last: int = 2,
+                         orphan_grace_sec: float = 3600.0) -> dict:
         """Drop manifests older than the newest `keep_last` and delete data files
         referenced only by them (Iceberg expire_snapshots semantics).
 
         The current snapshot is never touched; time travel remains available for
         retained versions. Orphan files from crashed writers are also swept (they
-        appear in no retained manifest).
+        appear in no retained manifest) — but only once older than
+        `orphan_grace_sec`: a merge/compact in flight has written data files whose
+        manifest is not yet committed, and sweeping those would corrupt that
+        commit (Iceberg's remove_orphan_files applies the same mtime guard).
         """
+        import time as _time
+
         cur = self.manifest()
         keep_versions = [v for v in range(max(0, cur.version - keep_last + 1),
                                           cur.version + 1)]
         live: set[str] = set()
-        for v in keep_versions:
+        referenced: set[str] = set()  # referenced by ANY manifest, retained or not
+        for mpath in glob.glob(os.path.join(self.path, "_meta", "v*.json")):
+            v = int(os.path.basename(mpath)[1:-5])
             try:
-                live.update(f.path for f in self.store.load(v).files)
+                paths = {f.path for f in self.store.load(v).files}
             except FileNotFoundError:
                 continue
+            referenced.update(paths)
+            if v in keep_versions:
+                live.update(paths)
         removed_files = 0
+        now = _time.time()
         data_root = os.path.join(self.path, "data")
         for fpath in glob.glob(os.path.join(data_root, "*", "*", "*.parquet")) + glob.glob(
             os.path.join(data_root, "*", "*.parquet")
         ):
-            if os.path.relpath(fpath, self.path) not in live:
+            rel = os.path.relpath(fpath, self.path)
+            if rel in live:
+                continue
+            try:
+                # a file in NO manifest may belong to an in-flight commit whose
+                # manifest is not yet written — only sweep it past the grace age;
+                # files referenced by an expired (non-retained) manifest were
+                # committed and are removed regardless of age
+                if rel not in referenced and \
+                        now - os.path.getmtime(fpath) < orphan_grace_sec:
+                    continue
                 os.remove(fpath)
-                removed_files += 1
+            except FileNotFoundError:
+                continue  # concurrent sweeper already removed it
+            removed_files += 1
         removed_manifests = 0
         for mpath in glob.glob(os.path.join(self.path, "_meta", "v*.json")):
             v = int(os.path.basename(mpath)[1:-5])
@@ -545,6 +596,11 @@ class LakeTable:
             "lineage": lineage or [],
             "metrics": metrics,
         }
+        from change_data_capturer_ms_spark.lake.manifest import prune_ledger
+
+        batches, watermarks = prune_ledger(
+            parent.committed_batches + [ledger_key], parent.batch_watermarks
+        )
         new = Manifest(
             version=parent.version + 1,
             parent=parent.version,
@@ -553,7 +609,8 @@ class LakeTable:
             n_buckets=parent.n_buckets,
             key_cols=parent.key_cols,
             files=files,
-            committed_batches=parent.committed_batches + [ledger_key],
+            committed_batches=batches,
             lease=lease,
+            batch_watermarks=watermarks,
         )
         self.store.commit(new, expected_parent=parent.version)

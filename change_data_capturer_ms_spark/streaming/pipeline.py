@@ -118,11 +118,19 @@ class CDCPipeline:
         os.replace(cur_tmp, cur)  # atomic LWW upsert on id
 
     def current_lease(self) -> dict | None:
+        """Decode-or-None: a corrupt or schema-drifted lease file reads as None
+        (⇒ the caller starts from the beginning), never an exception — the
+        reference's io-ts decode of the lease item behaves exactly this way
+        (/root/reference/src/capturer/cosmos/utils.ts:76-91)."""
         cur = os.path.join(self.lease_dir, f"{self.cfg.lease_prefix}.json")
         if not os.path.exists(cur):
             return None
-        with open(cur) as f:
-            return json.load(f)
+        try:
+            with open(cur) as f:
+                payload = json.load(f)
+        except (json.JSONDecodeError, OSError, UnicodeDecodeError):
+            return None
+        return payload if isinstance(payload, dict) else None
 
     # -- apply ----------------------------------------------------------------
 
@@ -148,10 +156,12 @@ class CDCPipeline:
 
         # ONE cheap planning job over pruned raw columns yields BOTH the
         # per-input-partition lineage (north_star) and the per-bucket stats the
-        # MERGE needs — grouped by (partition, bucket), collect is bounded by
-        # partitions x buckets rows, never data-proportional. The Arrow-UDF
-        # transform is untouched here (columns pruned) and runs only in the
-        # MERGE write job.
+        # MERGE needs — via GROUPING SETS ((p), (_bucket)), so the collect is
+        # bounded by partitions + buckets rows (NOT their cross product: at the
+        # 100 TB config — O(10^4-10^5) buckets × thousands of input partitions —
+        # the old (p, bucket) grouping would be a multi-GB driver collect).
+        # Still a single shuffle/job; the Arrow-UDF transform is untouched here
+        # (columns pruned) and runs only in the MERGE write job.
         from change_data_capturer_ms_spark.lake.table import bucket_expr
 
         m = self.table.manifest()  # bucket layout is the manifest's, not cfg's
@@ -160,31 +170,27 @@ class CDCPipeline:
             batch_df.filter(F.col("op").isin(*self.cfg.captured_ops))
             .select(*keys, "seq")
             .withColumn("_bucket", bucket_expr(keys, m.n_buckets))
+            .withColumn("p", F.spark_partition_id())
         )
         rows = (
-            pre.groupBy(F.spark_partition_id().alias("p"), "_bucket")
+            pre.groupingSets([["p"], ["_bucket"]], "p", "_bucket")
             .agg(F.min("seq").alias("lo"), F.max("seq").alias("hi"),
-                 F.count(F.lit(1)).alias("n"))
+                 F.count(F.lit(1)).alias("n"),
+                 F.grouping_id().alias("gid"))  # 1 ⇒ per-partition, 2 ⇒ per-bucket
             .collect()
         )
         lineage = None
         if self.collect_lineage:
-            per_part: dict[int, list] = {}
-            for r in rows:
-                acc = per_part.setdefault(int(r["p"]), [r["lo"], r["hi"], 0])
-                acc[0] = min(acc[0], r["lo"])
-                acc[1] = max(acc[1], r["hi"])
-                acc[2] += r["n"]
             lineage = [
-                {"partition": p, "first_seq": int(lo), "last_seq": int(hi), "rows": int(n)}
-                for p, (lo, hi, n) in sorted(per_part.items())
+                {"partition": int(r["p"]), "first_seq": int(r["lo"]),
+                 "last_seq": int(r["hi"]), "rows": int(r["n"])}
+                for r in sorted((r for r in rows if r["gid"] == 1),
+                                key=lambda r: int(r["p"]))
             ]
-        per_bucket: dict[int, list] = {}
-        for r in rows:
-            acc = per_bucket.setdefault(int(r["_bucket"]), [0, r["hi"]])
-            acc[0] += r["n"]
-            acc[1] = max(acc[1], r["hi"])
-        planning_stats = [(b, n, int(hi)) for b, (n, hi) in per_bucket.items()]
+        planning_stats = [
+            (int(r["_bucket"]), int(r["n"]), int(r["hi"]))
+            for r in rows if r["gid"] == 2
+        ]
 
         result = self.table.merge(
             prepared,
@@ -226,6 +232,12 @@ class CDCPipeline:
         """One-shot batch apply resuming after the last committed seq — the pull-loop
         shape (cosmos.ts:51-112) without the streaming engine."""
         lease = self.table.lease() if self.table.exists() else {}
-        after = int(lease["lease"]) if lease.get("lease") else None
+        try:
+            after = int(lease["lease"]) if lease.get("lease") else None
+        except (TypeError, ValueError):
+            # decode-or-None (reference cosmos/utils.ts:76-91): an undecodable
+            # lease token restarts from the beginning; the idempotent MERGE
+            # ledger makes the replay exactly-once
+            after = None
         batch = self.reader.read_batch(after_seq=after)
         return self.apply_batch(batch, batch_id)

@@ -113,6 +113,10 @@ def test_validate_batch_quarantine_split(spark):
         (2, "t2", "upsert-typo", "r1", "p3", "c", "py", "body", datetime.datetime(2024, 1, 1), "{}", 0),
         (3, "t3", "insert", None, "p4", "c", "py", "body", datetime.datetime(2024, 1, 1), "{}", 0),
         (4, "t4", "insert", "r1", "p5", "c", "py", None, datetime.datetime(2024, 1, 1), "{}", 0),
+        # NULL op must land in the DLQ (three-valued-logic trap: plain ~isin
+        # evaluates NULL and silently passes the row)
+        (5, "t5", None, "r1", "p6", "c", "py", "body", datetime.datetime(2024, 1, 1), "{}", 0),
+        (6, "t6", None, "r1", "p7", "c", "py", None, datetime.datetime(2024, 1, 1), "{}", 0),
     ]
     schema = ("seq long, token string, op string, repo string, path string, commit string, "
               "lang string, content string, ts timestamp, props string, seq_bucket long")
@@ -123,6 +127,9 @@ def test_validate_batch_quarantine_split(spark):
     assert reasons[2] == ["bad_op:upsert-typo"]
     assert reasons[3] == ["null:repo"]
     assert reasons[4] == ["null_content_for_upsert"]
+    assert reasons[5] == ["bad_op:<null>"]
+    # NULL op + NULL content: both reasons fire (op unknown ⇒ not a delete)
+    assert reasons[6] == ["bad_op:<null>", "null_content_for_upsert"]
 
 
 def test_pipeline_quarantine_dir(spark, tmpdir_path):

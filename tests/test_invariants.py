@@ -305,10 +305,18 @@ class TestMaintenance:
         )
         before = _state(pipe.table)
         lease = pipe.table.lease()
+        tomb_before = pipe.table.read(include_deleted=True).filter(
+            F.col("_last_op") == "delete").count()
+        assert tomb_before > 0, "fixture must leave tombstones to protect"
         res = pipe.table.compact()
         after = _state(pipe.table)
         assert after.equals(before)
         assert pipe.table.lease() == lease
+        # tombstones survive compaction — dropping them would reintroduce the
+        # out-of-order resurrection bug (ADVICE r1, high)
+        tomb_after = pipe.table.read(include_deleted=True).filter(
+            F.col("_last_op") == "delete").count()
+        assert tomb_after == tomb_before
         if res["compacted_buckets"]:
             assert res["files_after"] <= res["files_before"]
 
@@ -322,6 +330,93 @@ class TestMaintenance:
         res = pipe.table.expire_snapshots(keep_last=1)
         assert res["removed_manifests"] > 0
         assert _state(pipe.table).equals(before)
+
+    def test_expire_snapshots_spares_inflight_orphans(self, spark, tmpdir_path):
+        """A data file in NO manifest may belong to an in-flight (uncommitted)
+        merge — the sweep must leave it alone until the grace age passes
+        (ADVICE r1, low)."""
+        pipe, _ = _pipe(spark, tmpdir_path)
+        pipe.apply_batch(gen_changelog(spark, 400, seed=14), batch_id=0)
+        # simulate an in-flight writer: fresh parquet not referenced anywhere
+        orphan_dir = os.path.join(pipe.table.path, "data", "v99-deadbeef", "_bucket=0")
+        os.makedirs(orphan_dir)
+        orphan = os.path.join(orphan_dir, "part-inflight.parquet")
+        with open(orphan, "wb") as f:
+            f.write(b"PAR1 not really parquet")
+        pipe.table.expire_snapshots(keep_last=1)
+        assert os.path.exists(orphan), "fresh orphan must survive the sweep"
+        pipe.table.expire_snapshots(keep_last=1, orphan_grace_sec=0.0)
+        assert not os.path.exists(orphan), "aged orphan is swept"
+
+    def test_expire_tombstones_keeps_legacy_null_op_rows(self, spark, tmpdir_path):
+        """Rows with NULL _last_op (pre-upgrade files) are live; the expirable
+        predicate must be null-safe or ~NULL drops them (ADVICE r1, low)."""
+        from change_data_capturer_ms_spark.lake.manifest import Manifest
+
+        t = LakeTable(spark, f"{tmpdir_path}/legacy", key_cols=["k"], n_buckets=4)
+        t.create(T.StructType([T.StructField("k", T.LongType()),
+                               T.StructField("v", T.StringType())]))
+        legacy = spark.range(5).select(
+            F.col("id").alias("k"), F.lit("x").alias("v"),
+            F.col("id").alias("_last_seq"),
+            F.lit(None).cast("string").alias("_last_op"),
+        )
+        m = t.manifest()
+        files = t._write_buckets(legacy, ["k"], 4, 1, 4)
+        t.store.commit(Manifest(
+            version=1, parent=0, schema_json=m.schema_json,
+            schema_version=m.schema_version, n_buckets=4, key_cols=["k"],
+            files=files, committed_batches=["legacy:0"], lease={},
+        ), expected_parent=0)
+        assert t.read().count() == 5
+        t.expire_tombstones(min_seq=1_000_000)  # watermark far past every seq
+        assert t.read().count() == 5, "legacy NULL-op rows must survive"
+
+    def test_ledger_stays_bounded_and_watermark_skips_replays(self, spark, tmpdir_path):
+        """Numeric batch ids fold into a per-source watermark; the manifest ledger
+        must not grow O(batches) (VERDICT r1 item 10)."""
+        from change_data_capturer_ms_spark.lake.manifest import prune_ledger
+
+        # pure ledger logic over a 1000-batch history
+        committed, wm = [], {}
+        for i in range(1000):
+            committed, wm = prune_ledger(committed + [f"s:{i}"], wm)
+        assert wm == {"s": 999}
+        assert committed == []
+        # out-of-order id above the watermark is retained until the gap closes
+        committed, wm = prune_ledger(committed + ["s:1005"], wm)
+        assert committed == ["s:1005"] and wm["s"] == 999
+        for i in range(1000, 1005):
+            committed, wm = prune_ledger(committed + [f"s:{i}"], wm)
+        assert committed == [] and wm["s"] == 1005
+        # non-numeric ids are kept verbatim; maintenance entries keep a tail
+        committed, wm = prune_ledger(committed + ["s:manual-0"], wm)
+        assert committed == ["s:manual-0"]
+
+        # integration: replay of a watermark-covered batch is still a no-op
+        pipe, _ = _pipe(spark, tmpdir_path)
+        for i in range(3):
+            pipe.apply_batch(gen_changelog(spark, 200, seed=21, start_seq=200 * i),
+                             batch_id=i)
+        m = pipe.table.manifest()
+        assert m.batch_watermarks.get("changelog") == 2
+        assert not any(b.startswith("changelog:") for b in m.committed_batches)
+        before = _state(pipe.table)
+        res = pipe.table.merge(gen_changelog(spark, 200, seed=21), batch_id=0,
+                               source_id="changelog")
+        assert res["skipped"] is True
+        assert _state(pipe.table).equals(before)
+
+    def test_empty_batch_preserves_incremental_watermark(self, spark, tmpdir_path):
+        """An empty commit must carry max_seq forward, or read_incremental on that
+        snapshot re-emits the whole table (ADVICE r1, medium)."""
+        pipe, _ = _pipe(spark, tmpdir_path)
+        pipe.apply_batch(gen_changelog(spark, 500, seed=22), batch_id=0)
+        empty = gen_changelog(spark, 500, seed=22).filter(F.col("seq") < 0)
+        pipe.apply_batch(empty, batch_id=1)
+        v_empty = pipe.table.manifest().version
+        assert pipe.table.lease()["metrics"]["max_seq"] == 499
+        assert pipe.table.read_incremental(since_version=v_empty).count() == 0
 
 
 class TestErrors:
@@ -341,3 +436,48 @@ class TestErrors:
         monkeypatch.setenv("CDC_CAPTURED_OPS", "insert,update")
         cfg = EngineConfig.from_env()
         assert cfg.n_buckets == 64 and cfg.captured_ops == ("insert", "update")
+
+    def test_registry_error_message_parity(self, spark):
+        """Exact message parity with the reference factories
+        (/root/reference/src/factory/factory.ts:20, src/queue/factory.ts:55)."""
+        from change_data_capturer_ms_spark.errors import (
+            NotSupportedError, QueueNotSupportedError)
+        from change_data_capturer_ms_spark.sources.registry import (
+            create_sink, create_source)
+
+        with pytest.raises(NotSupportedError) as ei:
+            create_source("postgres", spark, "/nope")
+        assert str(ei.value) == "Service still not supported"
+        with pytest.raises(QueueNotSupportedError) as ei:
+            create_sink("kafka", spark, "/nope")
+        assert str(ei.value) == "Queue type still not supported"
+
+    def test_lease_decode_or_none(self, spark, tmpdir_path):
+        """Corrupt lease JSON decodes to None and the pipeline restarts from the
+        beginning (reference io-ts decode-or-None, cosmos/utils.ts:76-91 and its
+        decode-failure test)."""
+        pipe, log_dir = _pipe(spark, tmpdir_path)
+        write_changelog(gen_changelog(spark, 300, seed=23, n_repos=5,
+                                      paths_per_repo=3), log_dir)
+        pipe.run_stream()
+        good = pipe.current_lease()
+        assert good is not None
+        lease_file = os.path.join(pipe.lease_dir, f"{CFG.lease_prefix}.json")
+        with open(lease_file, "w") as f:
+            f.write("{not valid json!!")
+        assert pipe.current_lease() is None
+        with open(lease_file, "w") as f:
+            json.dump(["wrong", "shape"], f)
+        assert pipe.current_lease() is None
+
+        # an undecodable manifest lease token ⇒ run_batch starts from the
+        # beginning instead of raising; idempotence keeps the state unchanged
+        before = _state(pipe.table)
+        real_lease, calls = pipe.table.lease, []
+        pipe.table.lease = lambda: (
+            {"lease": "garbage-token"} if not calls.append(None) and len(calls) == 1
+            else real_lease()
+        )
+        res = pipe.run_batch(batch_id="manual-replay")
+        assert res["skipped"] is False
+        assert _state(pipe.table).equals(before)
