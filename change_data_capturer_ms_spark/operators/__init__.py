@@ -16,6 +16,7 @@ from change_data_capturer_ms_spark.operators.dedup_docs import (
     ngram_jaccard_pairs,
     simhash,
     simhash_dup_pairs,
+    simhash_pairs_banded,
     word_shingles,
 )
 from change_data_capturer_ms_spark.operators.similarity import (
@@ -23,6 +24,7 @@ from change_data_capturer_ms_spark.operators.similarity import (
     cosine_sim,
     embedding_near_dup_pairs,
     ivf_topk,
+    ivf_topk_det,
     lsh_topk,
 )
 from change_data_capturer_ms_spark.operators.text import (
@@ -43,9 +45,10 @@ __all__ = [
     "lww_dedupe", "lww_dedupe_two_phase", "lww_dedupe_window", "salted_repartition",
     "streaming_dedupe_within_watermark", "weighted_mean_agg", "zscore_normalize",
     "exact_dedup", "minhash_lsh_pairs", "minhash_signatures",
-    "ngram_jaccard_pairs", "simhash", "simhash_dup_pairs", "word_shingles",
+    "ngram_jaccard_pairs", "simhash", "simhash_dup_pairs",
+    "simhash_pairs_banded", "word_shingles",
     "brute_force_topk", "cosine_sim", "embedding_near_dup_pairs", "ivf_topk",
-    "lsh_topk",
+    "ivf_topk_det", "lsh_topk",
     "doc_fingerprint", "lang_id_builtin", "lang_id_pandas", "quality_scores",
     "token_count_bpe_ish", "token_count_ws",
     "extract_media_features", "frame_sample", "synth_media",

@@ -58,19 +58,37 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    df_cap: int | None = 1000,
 ) -> DataFrame:
     """All pairs with word-n-gram Jaccard ≥ threshold (id_a < id_b).
 
     Plan shape: shingle explode → equi-join on shingle (co-partitioned by shingle
     hash) → pair aggregation → broadcast join of per-doc shingle counts. The
-    shingle join only meets docs sharing ≥1 shingle — far from all-pairs — but a
-    stop-shingle shared by many docs still fans out; production adds a document
-    frequency cap on shingles (see minhash_lsh_pairs for the sublinear path).
+    shingle join only meets docs sharing ≥1 shingle — far from all-pairs.
+
+    `df_cap` bounds the quadratic danger: a shingle shared by M docs fans out
+    M² pairs, so one stop-shingle at corpus scale is a job-killer. Shingles
+    whose document frequency exceeds df_cap are excluded from the JOIN (via a
+    broadcast anti-join against the tiny hot-shingle list — one extra
+    aggregation, no second shuffle of the shingle table). Per-doc sizes stay
+    UNCAPPED, so the Jaccard denominator is exact and the estimate only
+    undercounts pairs whose overlap was purely stop-shingles — the pairs a
+    dedup pipeline wants to drop anyway. df_cap=None disables the cap (exact
+    baseline for small corpora).
     """
     sh = word_shingles(df, text_col, id_col, n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    sh_join = sh
+    if df_cap is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("shingle")
+        )
+        sh_join = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a = sh_join.alias("a")
+    b = sh_join.alias("b")
     shared = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
@@ -195,11 +213,62 @@ def simhash(
 def simhash_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       bits: int = 16) -> DataFrame:
     """Near-dup candidates = exact SimHash collisions (hamming distance 0 at the
-    chosen bit width; production widens to banded hamming-≤k buckets)."""
+    chosen bit width; `simhash_pairs_banded` is the hamming-≤k generalization)."""
     s = simhash(df, text_col, id_col, bits)
     a, b = s.alias("a"), s.alias("b")
     return (
         a.join(b, (F.col("a.simhash") == F.col("b.simhash")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                 F.col("a.simhash").alias("simhash"))
+    )
+
+
+def simhash_pairs_banded(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance ≤ max_hamming, found via
+    banded buckets (never an all-pairs join).
+
+    The `bits`-bit signature splits into `bands` equal bands; two docs become
+    candidates iff they collide on at least one whole band. Pigeonhole
+    guarantees completeness for max_hamming ≤ bands - 1: fewer than `bands`
+    differing bits cannot touch every band. Candidates then pass an exact
+    popcount(xor) filter. Same sublinear shape as `minhash_lsh_pairs`: per-band
+    self-equi-joins on small buckets, fan-out ~ true near-dups, not corpus².
+    """
+    assert bits % bands == 0, "bits must divide evenly into bands"
+    assert max_hamming <= bands - 1, "pigeonhole completeness needs max_hamming < bands"
+    width = bits // bands
+    mask = (1 << width) - 1
+    s = simhash(df, text_col, id_col, bits)
+    banded = s.select(
+        "id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit(mask)).alias("key"),
+            )
+            for b in range(bands)
+        ])).alias("bk"),
+    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.simhash").alias("sim_a"), F.col("b.simhash").alias("sim_b"))
+        .dropDuplicates(["id_a", "id_b"])  # a pair may collide in several bands
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )

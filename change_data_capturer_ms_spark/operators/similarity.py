@@ -87,15 +87,27 @@ def lsh_topk(
     bits: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: bucket corpus and queries by sign-bit LSH, scan only the
     query's bucket. The bucket equi-join replaces the full-corpus scan: cost drops
-    ~2^bits-fold at matching recall cost."""
+    ~2^bits-fold at matching recall cost.
+
+    multiprobe=True probes the query's bucket PLUS its hamming-1 neighbors
+    (each sign bit flipped once) — (bits+1)× the scan for a large recall lift,
+    still a bucket equi-join (the classic multi-probe LSH trade; at scale you'd
+    order the flips by |margin| and cap the probe count)."""
     from pyspark.sql import Window
 
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
     ).withColumn("bucket", signbit_bucket(F.col("qv"), bits))
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(bits)],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
     ).withColumn("bucket", signbit_bucket(F.col("cv"), bits))
@@ -173,6 +185,82 @@ def ivf_topk(
         .select("query_id", "qv", "cell")
     )
 
+    scored = (
+        assigned.join(F.broadcast(probes), ["cell"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_sim(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cell",
+                F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def ivf_topk_det(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k with a DETERMINISTIC coarse quantizer.
+
+    Centroids are the `n_cells` corpus vectors with the smallest md5-derived
+    id hash (a seeded pseudo-random sample — the same trick a k-means++ seeding
+    pass uses, minus the iterations), cell ids assigned in hash order. Every
+    step is a closed-form expression, so the DuckDB oracle re-derives the exact
+    result (the KMeans variant `ivf_topk` trades that for learned centroids —
+    same probe-join shape, recall-tested instead of oracle-checked).
+
+    Scale shape: the centroid table is n_cells rows (broadcast); corpus
+    assignment is one broadcast nested-loop over n_cells candidates per vector
+    (cheap, embarrassingly parallel); search probes `nprobe` inverted lists via
+    a broadcast equi-join on cell id — cost ~ corpus * nprobe / n_cells,
+    identical to `lsh_topk` with a data-dependent bucketer.
+    """
+    from pyspark.sql import Window
+
+    from change_data_capturer_ms_spark.functions.hashing2 import md5_long56
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
+    # deterministic "sample": n_cells corpus vectors by smallest id-hash
+    hashed = c.withColumn("h", md5_long56(F.col("neighbor_id").cast("string")))
+    seeds = hashed.orderBy("h", "neighbor_id").limit(n_cells)
+    wc = Window.orderBy("h", "neighbor_id")
+    cent = seeds.select(
+        (F.row_number().over(wc) - 1).alias("cell"), F.col("cv").alias("centroid")
+    )
+
+    def _sqdist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+
+    # nearest-cell assignment: broadcast the tiny centroid table, argmin by
+    # (distance, cell) — ties break to the smaller cell id on both engines
+    assigned = (
+        c.crossJoin(F.broadcast(cent))
+        .withColumn("dist", _sqdist(F.col("cv"), F.col("centroid")))
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("neighbor_id").orderBy("dist", "cell")))
+        .filter(F.col("rn") == 1)
+        .select("neighbor_id", "cv", "cell")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("dist", _sqdist(F.col("qv"), F.col("centroid")))
+        .withColumn("pr", F.row_number().over(
+            Window.partitionBy("query_id").orderBy("dist", "cell")))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
     scored = (
         assigned.join(F.broadcast(probes), ["cell"])
         .filter(F.col("neighbor_id") != F.col("query_id"))

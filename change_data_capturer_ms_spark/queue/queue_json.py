@@ -1,0 +1,150 @@
+"""JSON message-envelope queue sink — the reference's produce side (K3/K4).
+
+The reference batches events into JSON envelopes and sends them through an
+Event-Hub/Kafka producer (/root/reference/src/queue/eventhub/utils.ts:91-98:
+`{ body: item }` per message, batched send), aggregating per-message failures
+(:55-69) and relying on an idempotent transactional producer for exactly-once
+(:28-39). This engine has no broker offline, so the queue is a durable
+append-only envelope log with the same contract:
+
+- produce(): one Spark job turns the batch into `(key, body, source_id,
+  batch_id, seq)` envelopes — body is `to_json(struct(payload))`, key is the
+  document key (the reference keys messages for partition affinity) — and
+  appends them as one per-batch directory. A commit marker makes the batch
+  visible; a crash between data write and marker leaves an invisible orphan,
+  and a re-produce of the same batch id is a no-op (exactly-once).
+- consume(): reads ONLY committed batch dirs; `parse_envelopes` decodes bodies
+  back to typed rows, splitting undecodable messages into a failure frame
+  (the reference's per-message failure aggregation re-expressed as a DLQ split,
+  same idiom as functions/validate.py).
+
+Scale: envelopes are written by the same partitions that produced them (no
+extra shuffle); per-batch directories keep produce append-only and let
+consumers prune to new batches by marker — O(new data), never a rescan. A real
+Kafka deployment binds a `kafka` sink with the same produce() signature; the
+envelope schema is the contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ENVELOPE_SCHEMA = T.StructType([
+    T.StructField("key", T.StringType(), True),
+    T.StructField("body", T.StringType(), True),
+    T.StructField("source_id", T.StringType(), True),
+    T.StructField("batch_id", T.StringType(), True),
+    T.StructField("seq", T.LongType(), True),
+])
+
+
+class JsonQueueSink:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_cols: tuple[str, ...] | list[str] = ("repo", "path"),
+    ):
+        self.spark = spark
+        self.path = path
+        self.key_cols = list(key_cols)
+        self.marker_dir = os.path.join(path, "_commits")
+
+    # -- produce --------------------------------------------------------------
+
+    def _marker(self, source_id: str, batch_id) -> str:
+        return os.path.join(self.marker_dir, f"{source_id}__{batch_id}.json")
+
+    def produce(self, df: DataFrame, batch_id: int | str,
+                source_id: str = "cdc", seq_col: str | None = "seq") -> dict:
+        """Envelope + append the batch; idempotent on (source_id, batch_id)."""
+        marker = self._marker(source_id, batch_id)
+        if os.path.exists(marker):
+            return {"skipped": True, "batch_id": batch_id}
+        payload_cols = [F.col(c) for c in df.columns]
+        env = df.select(
+            F.concat_ws("/", *self.key_cols).alias("key"),
+            F.to_json(F.struct(*payload_cols)).alias("body"),
+            F.lit(source_id).alias("source_id"),
+            F.lit(str(batch_id)).alias("batch_id"),
+            (F.col(seq_col).cast("long") if seq_col in df.columns
+             else F.lit(None).cast("long")).alias("seq"),
+        )
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        env = env.observe(obs, F.count(F.lit(1)).alias("n"),
+                          F.max("seq").alias("max_seq"))
+        out_dir = os.path.join(self.path, "data", f"{source_id}__{batch_id}")
+        env.write.mode("overwrite").parquet(out_dir)
+        stats = obs.get
+        os.makedirs(self.marker_dir, exist_ok=True)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"source_id": source_id, "batch_id": str(batch_id),
+                       "rows": int(stats["n"] or 0),
+                       "max_seq": stats["max_seq"]}, f)
+        os.replace(tmp, marker)  # atomic visibility flip
+        return {"skipped": False, "batch_id": batch_id,
+                "rows": int(stats["n"] or 0)}
+
+    # -- consume --------------------------------------------------------------
+
+    def committed_batches(self) -> list[dict]:
+        if not os.path.isdir(self.marker_dir):
+            return []
+        out = []
+        for name in sorted(os.listdir(self.marker_dir)):
+            if name.endswith(".json"):
+                with open(os.path.join(self.marker_dir, name)) as f:
+                    out.append(json.load(f))
+        return out
+
+    def consume(self) -> DataFrame:
+        """All committed envelopes (uncommitted orphan dirs are invisible)."""
+        dirs = [
+            os.path.join(self.path, "data", f"{m['source_id']}__{m['batch_id']}")
+            for m in self.committed_batches()
+        ]
+        if not dirs:
+            # JVM-side empty relation (see lake/table.py read() codegen note)
+            return self.spark.range(0).select(
+                *[F.lit(None).cast(f.dataType).alias(f.name)
+                  for f in ENVELOPE_SCHEMA.fields]
+            )
+        return self.spark.read.schema(ENVELOPE_SCHEMA).parquet(*dirs)
+
+
+def parse_envelopes(env: DataFrame, payload_schema: T.StructType
+                    ) -> tuple[DataFrame, DataFrame]:
+    """Decode envelope bodies back to typed rows: (ok, failed).
+
+    `ok` carries the envelope key/batch metadata plus the flattened payload;
+    `failed` keeps the raw envelope for rows whose body does not decode against
+    the declared schema (reference per-message failure aggregation,
+    eventhub/utils.ts:55-69 — failures are collected, never thrown away).
+    """
+    parsed = env.withColumn("payload", F.from_json("body", payload_schema))
+    # from_json is null for undecodable bodies; an all-null struct also means
+    # nothing matched (PERMISSIVE mode fills fields with null on type mismatch)
+    any_field = F.array(*[
+        F.col(f"payload.{f.name}").isNotNull() for f in payload_schema.fields
+    ])
+    bad_cond = F.col("payload").isNull() | (
+        F.col("body").isNotNull() & ~F.array_contains(any_field, F.lit(True))
+    )
+    # envelope metadata is prefixed so it can never collide with payload columns
+    ok = parsed.filter(~bad_cond).select(
+        F.col("key").alias("_msg_key"),
+        F.col("source_id").alias("_msg_source_id"),
+        F.col("batch_id").alias("_msg_batch_id"),
+        F.col("seq").alias("_msg_seq"),
+        "payload.*",
+    )
+    failed = parsed.filter(bad_cond).drop("payload")
+    return ok, failed

@@ -61,3 +61,11 @@ def _changelog_source(spark, log_path, schema=None):
 def _lake_sink(spark, table_path, key_cols=("repo", "path"), **kwargs):
     from change_data_capturer_ms_spark.lake.table import LakeTable
     return LakeTable(spark, table_path, key_cols=list(key_cols), **kwargs)
+
+
+@register_sink("queue-json")
+def _queue_json_sink(spark, queue_path, key_cols=("repo", "path"), **kwargs):
+    """Message-envelope queue sink (reference K3/K4 produce side,
+    /root/reference/src/queue/eventhub/utils.ts:91-98)."""
+    from change_data_capturer_ms_spark.queue import JsonQueueSink
+    return JsonQueueSink(spark, queue_path, key_cols=key_cols, **kwargs)

@@ -1,0 +1,57 @@
+"""Scale-bound tests for the document-dedup operators: hot-shingle fan-out is
+capped, and banded SimHash finds hamming-close pairs without an all-pairs join."""
+
+from pyspark.sql import functions as F
+
+from change_data_capturer_ms_spark.operators import (
+    ngram_jaccard_pairs,
+    simhash_pairs_banded,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngram_df_cap_bounds_hot_shingle_fanout(spark):
+    """50 docs sharing ONE stop-shingle (plus unique tails) would fan out
+    C(50,2)=1225 candidate pairs; the df cap removes the hot shingle from the
+    join so the pair count collapses to 0."""
+    rows = [(i, f"aa bb cc unique{i} tail{i} x{i}") for i in range(50)]
+    docs = _docs(spark, rows)
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.0, df_cap=None)
+    capped = ngram_jaccard_pairs(docs, threshold=0.0, df_cap=10)
+    assert uncapped.count() == 1225  # every pair shares the 'aa bb cc' shingle
+    assert capped.count() == 0
+
+    # docs that ALSO share non-hot shingles keep their pair; jaccard denominator
+    # stays exact (uncapped per-doc sizes)
+    rows2 = rows + [(100, "aa bb cc same same same"), (101, "aa bb cc same same same")]
+    capped2 = ngram_jaccard_pairs(_docs(spark, rows2), threshold=0.0, df_cap=10)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped2.collect()}
+    assert set(got) == {(100, 101)}
+    # 4 shingles each, 'aa bb cc' is hot (52 docs > cap): shared=3 of 4 ⇒ 3/5? no:
+    # sizes are uncapped (4 each), shared counts only non-hot shingles (3)
+    assert abs(got[(100, 101)] - round(3 / (4 + 4 - 3), 6)) < 1e-9
+
+
+def test_simhash_banded_finds_near_dups_and_matches_bruteforce(spark):
+    """Banded candidates + popcount filter == brute-force hamming-≤k pairs
+    (pigeonhole guarantees completeness for max_hamming ≤ bands-1)."""
+    from change_data_capturer_ms_spark.operators import simhash
+
+    rows = [(i, f"the quick brown fox jumps over lazy dog number {i % 7}")
+            for i in range(40)]
+    docs = _docs(spark, rows)
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_pairs_banded(docs, bits=32, bands=4, max_hamming=3).collect()}
+
+    s = {r["id"]: r["simhash"] for r in simhash(docs, bits=32).collect()}
+    want = {}
+    ids = sorted(s)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(s[a] ^ s[b]).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    assert got == want and len(want) > 0
