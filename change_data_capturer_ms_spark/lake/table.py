@@ -161,10 +161,22 @@ class LakeTable:
         missing = [k for k in m.key_cols if k not in key_values]
         if missing:
             raise ValueError(f"lookup requires all key columns; missing {missing}")
-        row = self.spark.range(1).select(
-            *[F.lit(key_values[k]).alias(k) for k in m.key_cols]
-        ).select(bucket_expr(m.key_cols, m.n_buckets).alias("b")).first()
-        df = self.read(version=version, buckets={int(row["b"])})
+        # bucket computed DRIVER-SIDE (Spark-parity xxhash64 port) — a point
+        # lookup must not pay a Spark job submission just to evaluate a hash
+        from change_data_capturer_ms_spark.functions.xxh64 import xxhash64_cols
+
+        types = {f.name: f.dataType.simpleString() for f in m.schema.fields}
+        try:
+            h = xxhash64_cols([key_values[k] for k in m.key_cols],
+                              [types[k] for k in m.key_cols])
+            bucket = h % m.n_buckets  # Python % == Spark pmod for positive mod
+        except TypeError:
+            # unsupported key type: fall back to the JVM expression (one tiny job)
+            row = self.spark.range(1).select(
+                *[F.lit(key_values[k]).alias(k) for k in m.key_cols]
+            ).select(bucket_expr(m.key_cols, m.n_buckets).alias("b")).first()
+            bucket = int(row["b"])
+        df = self.read(version=version, buckets={bucket})
         for k in m.key_cols:
             df = df.filter(F.col(k) == F.lit(key_values[k]))
         return df

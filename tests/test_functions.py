@@ -151,3 +151,27 @@ def test_pipeline_quarantine_dir(spark, tmpdir_path):
     assert dlq.count() == 10
     assert dlq.filter(F.array_contains("_reasons", "null:repo")).count() == 10
     assert table.read().filter(F.col("repo").isNull()).count() == 0
+
+
+def test_xxh64_driver_side_parity(spark):
+    """Driver-side xxhash64 port must agree with the JVM expression for every
+    supported type, chaining, nulls and unicode — lookup() buckets depend on it."""
+    from change_data_capturer_ms_spark.functions.xxh64 import xxhash64_cols
+
+    rows = [(0, 0, ""), (1, 7, "a"), (-5, -3, "hello world"),
+            (2**62, 2**31 - 1, "x" * 100), (-2**63, -2**31, "répo/päth-ü"),
+            (None, None, None)]
+    df = spark.createDataFrame(rows, "l long, i int, s string")
+    got = df.select(F.xxhash64("l"), F.xxhash64("i"), F.xxhash64("s"),
+                    F.xxhash64("l", "i", "s"), F.xxhash64("s", "s")).collect()
+    for r, row in zip(rows, got):
+        l, i, s = r
+        assert list(row) == [
+            xxhash64_cols([l], ["bigint"]),
+            xxhash64_cols([i], ["int"]),
+            xxhash64_cols([s], ["string"]),
+            xxhash64_cols([l, i, s], ["bigint", "int", "string"]),
+            xxhash64_cols([s, s], ["string", "string"]),
+        ]
+    with pytest.raises(TypeError, match="unsupported"):
+        xxhash64_cols([1.5], ["double"])
