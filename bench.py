@@ -130,7 +130,7 @@ SCALING_BODY_REPEAT = 6   # ~1 KB contents for the scaling run (real-file-sized)
 SCALING_FILES = 64        # >= 2 tasks per core at 32 cores in every scan stage
 
 
-def apply_probe(cores: int, n_events: int, workdir: str, repeats: int = 2) -> dict:
+def apply_probe(cores: int, n_events: int, workdir: str, repeats: int = 1) -> dict:
     """Warm-up + best-of-`repeats` timed apply in THIS process; one JSON line.
 
     Best-of-N because the sandbox host is shared: load average sits at 15-20
@@ -172,6 +172,29 @@ def _probe_subprocess(cores: int, n_events: int, workdir: str) -> dict:
         if line.startswith("{"):
             return json.loads(line)
     raise RuntimeError(f"probe failed (cores={cores}):\n{out.stderr[-2000:]}")
+
+
+def _interleaved_probes(configs: tuple[int, ...], n_events: int,
+                        rounds: int = 2) -> dict[int, dict]:
+    """best-of-`rounds` per config, INTERLEAVED across configs.
+
+    Running each config's repeats back-to-back hands every config a different
+    slice of host weather (a noise wave during one config's slot wrecks the
+    scaling ratio — observed: a local[2]-quiet/local[8]-stormy pass measured
+    'efficiency' 0.43 where interleaved passes measure ~0.84). Interleaving
+    2,8,32, 2,8,32 ... gives every config a sample from each weather window;
+    best-of per config then compares like with like.
+    """
+    results: dict[int, dict] = {}
+    for i in range(rounds):
+        for c in configs:
+            r = _probe_subprocess(c, n_events, f"/tmp/cdc_bench_scale_{c}_{i}")
+            prev = results.get(c)
+            walls = (prev["all_wall_sec"] if prev else []) + r["all_wall_sec"]
+            if prev is None or r["wall_sec"] < prev["wall_sec"]:
+                results[c] = r
+            results[c]["all_wall_sec"] = walls
+    return results
 
 
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
@@ -269,8 +292,7 @@ def main() -> None:
         # measure the ENGINE's scaling, not the neighbors'. local[32] is
         # reported as an informational extra.
         n_scale = max(8_000_000, n_events)
-        results = {c: _probe_subprocess(c, n_scale, f"/tmp/cdc_bench_scale_{c}")
-                   for c in (2, 8, 32)}
+        results = _interleaved_probes((2, 8, 32), n_scale)
         thr2 = results[2]["events_per_sec"]
         thr8 = results[8]["events_per_sec"]
         eff = (thr8 / thr2) / 4

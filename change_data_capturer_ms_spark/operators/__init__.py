@@ -22,10 +22,13 @@ from change_data_capturer_ms_spark.operators.dedup_docs import (
 from change_data_capturer_ms_spark.operators.similarity import (
     brute_force_topk,
     cosine_sim,
+    dequantize_embeddings,
     embedding_near_dup_pairs,
     ivf_topk,
     ivf_topk_det,
     lsh_topk,
+    normalize_embeddings,
+    quantize_embeddings_int8,
 )
 from change_data_capturer_ms_spark.operators.text import (
     doc_fingerprint,
@@ -34,6 +37,7 @@ from change_data_capturer_ms_spark.operators.text import (
     quality_scores,
     token_count_bpe_ish,
     token_count_ws,
+    winnow_fingerprints,
 )
 from change_data_capturer_ms_spark.operators.multimodal import (
     extract_media_features,
@@ -48,8 +52,9 @@ __all__ = [
     "ngram_jaccard_pairs", "simhash", "simhash_dup_pairs",
     "simhash_pairs_banded", "word_shingles",
     "brute_force_topk", "cosine_sim", "embedding_near_dup_pairs", "ivf_topk",
-    "ivf_topk_det", "lsh_topk",
+    "ivf_topk_det", "lsh_topk", "normalize_embeddings",
+    "quantize_embeddings_int8", "dequantize_embeddings",
     "doc_fingerprint", "lang_id_builtin", "lang_id_pandas", "quality_scores",
-    "token_count_bpe_ish", "token_count_ws",
+    "token_count_bpe_ish", "token_count_ws", "winnow_fingerprints",
     "extract_media_features", "frame_sample", "synth_media",
 ]

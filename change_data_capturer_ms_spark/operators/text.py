@@ -117,3 +117,48 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         F.max(h).alias("fp_max"),
         F.count(F.lit(1)).alias("n_shingles"),
     )
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 4,
+                        window: int = 4) -> DataFrame:
+    """Winnowing fingerprints (the MOSS scheme, Schleimer et al. 2003): hash
+    word n-grams in document order, then from every window of `window`
+    consecutive hashes select the minimum (rightmost on ties); the distinct
+    selected (position, hash) set is the fingerprint.
+
+    Guarantee: any shared substring spanning ≥ window + n - 1 words yields at
+    least one shared fingerprint — position-robust plagiarism/near-dup
+    detection that `doc_fingerprint`'s global min/max sketch cannot give.
+
+    Plan: ordered POSITIONED shingles (no array_distinct — winnowing needs
+    document order) → per-doc ordered window min of struct(hash, -pos) over
+    [current, window-1 FOLLOWING] → distinct. One shuffle on doc id; the
+    per-doc window is linear scan work, and output size is ~2·len/window per
+    doc (the winnowing density bound), so the fingerprint table is a fraction
+    of the shingle table at any corpus size.
+    """
+    from pyspark.sql import Window
+
+    words = F.split(F.col(text_col), " ")
+    starts = F.sequence(F.lit(0), F.size(words) - n)
+    sh = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    pos_sh = (
+        df.filter(F.size(words) >= n)
+        .select(F.col(id_col).alias("id"), F.posexplode(sh).alias("pos", "shingle"))
+        .withColumn("h", md5_long56(F.col("shingle")))
+    )
+    w = (Window.partitionBy("id").orderBy("pos")
+         .rowsBetween(Window.currentRow, window - 1))
+    n_sh = Window.partitionBy("id")
+    picked = (
+        pos_sh
+        # min of (hash, -pos) = smallest hash, rightmost instance on ties
+        .withColumn("sel", F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(w))
+        .withColumn("n_sh", F.count(F.lit(1)).over(n_sh))
+        # only full windows select (short docs: the single truncated window at pos 0)
+        .filter((F.col("pos") <= F.col("n_sh") - window) | (F.col("pos") == 0))
+        .select("id", F.col("sel.h").alias("fp_hash"), (-F.col("sel.np")).alias("fp_pos"))
+        .distinct()
+    )
+    return picked

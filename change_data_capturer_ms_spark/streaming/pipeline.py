@@ -88,6 +88,7 @@ class CDCPipeline:
         collect_lineage: bool = True,
         flatten_props: bool = False,
         quarantine_dir: str | None = None,
+        queue_sink=None,
     ):
         self.spark = spark
         self.reader = ChangeLogReader(spark, log_path)
@@ -99,6 +100,10 @@ class CDCPipeline:
         self.collect_lineage = collect_lineage
         self.flatten_props = flatten_props
         self.quarantine_dir = quarantine_dir
+        # optional downstream queue (reference topology: capture → queue produce,
+        # src/factory/service.ts + src/queue/*): each applied micro-batch is also
+        # produced as JSON envelopes, idempotent on (source_id, batch_id)
+        self.queue_sink = queue_sink
         self.lease_dir = os.path.join(table.path, "_lease")
 
     # -- lease (inspectable resume state) ------------------------------------
@@ -205,6 +210,14 @@ class CDCPipeline:
         if not result.get("skipped"):
             lease = self.table.lease()
             self._write_lease(lease)
+        if self.queue_sink is not None:
+            # produce the RAW captured rows (the reference queues the change
+            # documents themselves) — no UDF columns, so this extra pass stays
+            # a cheap scan; the sink's marker makes replays no-ops
+            captured = batch_df.filter(F.col("op").isin(*self.cfg.captured_ops))
+            result["queue"] = self.queue_sink.produce(
+                captured, batch_id=batch_id, source_id=self.source_id
+            )
         return result
 
     # -- run ------------------------------------------------------------------

@@ -40,6 +40,11 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--builtin-udfs", action="store_true",
                    help="use JVM builtin expressions instead of pandas UDFs")
     p.add_argument("--no-flatten", action="store_true")
+    p.add_argument("--queue", default=None,
+                   help="optional queue-json sink dir: every applied batch is "
+                        "also produced as JSON message envelopes (K3/K4)")
+    p.add_argument("--quarantine", default=None,
+                   help="optional DLQ dir: schema-on-read validation split")
     p.add_argument("--master", default=None,
                    help="local testing only, e.g. local[8]")
     return p.parse_args(argv)
@@ -68,11 +73,16 @@ def main(argv: list[str] | None = None) -> int:
     table = create_sink("lake-parquet", spark, args.table,
                         key_cols=tuple(args.key_cols.split(",")),
                         n_buckets=cfg.n_buckets)
+    queue_sink = (create_sink("queue-json", spark, args.queue,
+                              key_cols=tuple(args.key_cols.split(",")))
+                  if args.queue else None)
     pipe = CDCPipeline(
         spark, args.log, table, args.checkpoint,
         source_id=args.source_id, cfg=cfg,
         use_pandas_udfs=not args.builtin_udfs,
         flatten_props=not args.no_flatten,
+        quarantine_dir=args.quarantine,
+        queue_sink=queue_sink,
     )
     pipe.run_stream(max_files_per_trigger=args.max_files_per_trigger)
     lease = pipe.current_lease()

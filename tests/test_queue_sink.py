@@ -64,3 +64,30 @@ def test_uncommitted_batch_is_invisible_and_failures_aggregate(spark, tmpdir_pat
     ok, failed = parse_envelopes(sink.consume().unionByName(garbage), batch.schema)
     assert ok.count() == 100
     assert failed.count() == 2
+
+
+def test_pipeline_produces_to_queue(spark, tmpdir_path):
+    """Capture -> MERGE apply -> queue produce (the reference topology): every
+    applied micro-batch also lands on the queue exactly once."""
+    from change_data_capturer_ms_spark.config import EngineConfig
+    from change_data_capturer_ms_spark.lake.table import LakeTable
+    from change_data_capturer_ms_spark.sources import write_changelog
+    from change_data_capturer_ms_spark.streaming import CDCPipeline
+
+    q = JsonQueueSink(spark, os.path.join(tmpdir_path, "q"))
+    table = LakeTable(spark, f"{tmpdir_path}/t", key_cols=["repo", "path"], n_buckets=4)
+    log = gen_changelog(spark, 400, seed=35)
+    write_changelog(log, f"{tmpdir_path}/log")
+    pipe = CDCPipeline(spark, f"{tmpdir_path}/log", table, f"{tmpdir_path}/c",
+                       cfg=EngineConfig(n_buckets=4), use_pandas_udfs=False,
+                       queue_sink=q)
+    pipe.run_stream()
+    captured = log.filter(
+        F.col("op").isin("insert", "update", "replace", "delete")).count()
+    assert q.consume().count() == captured
+    # envelopes decode back to the raw change rows
+    ok, failed = parse_envelopes(q.consume(), log.schema)
+    assert failed.count() == 0 and ok.count() == captured
+    # drained log -> no new envelopes on re-run
+    pipe.run_stream()
+    assert q.consume().count() == captured
