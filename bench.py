@@ -291,8 +291,14 @@ def main() -> None:
         # vCPUs; 2 vs 8 threads stay under the host's effective capacity and
         # measure the ENGINE's scaling, not the neighbors'. local[32] is
         # reported as an informational extra.
-        n_scale = max(8_000_000, n_events)
-        results = _interleaved_probes((2, 8, 32), n_scale)
+        # 16M-event floor: per-run fixed costs (planning jobs, commits, trigger
+        # overhead) are a constant ~8-10 s; at 8M events they eat ~25% of the
+        # fast config's wall but only ~9% of the slow one's, depressing the
+        # measured ratio below the engine's true scaling (measured: 0.71 at 8M
+        # vs 0.84 at 16M, identical code)
+        n_scale = max(16_000_000, n_events)
+        rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
+        results = _interleaved_probes((2, 8, 32), n_scale, rounds=rounds)
         thr2 = results[2]["events_per_sec"]
         thr8 = results[8]["events_per_sec"]
         eff = (thr8 / thr2) / 4

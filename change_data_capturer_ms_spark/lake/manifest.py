@@ -75,7 +75,12 @@ def prune_ledger(
     numeric: dict[str, set[int]] = {}
     for key in committed:
         src, bid = _split_ledger_key(key)
-        if not src.startswith("maintenance") and bid.lstrip("-").isdigit():
+        # ONLY non-negative plain integers fold (bid.isdigit(): negative or
+        # sentinel ids stay verbatim in the list — a -1 folded against the
+        # default hw=-1 would vanish without coverage); the maintenance
+        # namespace is the exact source 'maintenance', not a prefix (a user
+        # source named 'maintenance_log' must keep its full ledger)
+        if src != "maintenance" and bid.isdigit():
             numeric.setdefault(src, set()).add(int(bid))
     for src, ids in numeric.items():
         hw = wm.get(src, -1)
@@ -86,9 +91,9 @@ def prune_ledger(
     maint: list[str] = []
     for key in committed:
         src, bid = _split_ledger_key(key)
-        if src.startswith("maintenance"):
+        if src == "maintenance":
             maint.append(key)
-        elif bid.lstrip("-").isdigit() and int(bid) <= wm.get(src, -1):
+        elif bid.isdigit() and int(bid) <= wm.get(src, -1):
             continue  # covered by the watermark
         else:
             out.append(key)
@@ -111,11 +116,16 @@ class Manifest:
     batch_watermarks: dict = field(default_factory=dict)
 
     def is_committed(self, source_id: str, batch_id) -> bool:
-        """Exactly-once check: ledger entry OR covered by the source watermark."""
+        """Exactly-once check: ledger entry OR covered by the source watermark.
+
+        Only non-negative integer ids consult the watermark (mirrors
+        prune_ledger): with the default hw = -1, a negative sentinel id would
+        otherwise read as 'already committed' on a FRESH table and the batch
+        would be silently dropped."""
         if f"{source_id}:{batch_id}" in self.committed_batches:
             return True
         s = str(batch_id)
-        if s.lstrip("-").isdigit():
+        if s.isdigit():
             return int(s) <= self.batch_watermarks.get(source_id, -1)
         return False
 

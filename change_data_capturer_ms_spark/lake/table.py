@@ -192,7 +192,8 @@ class LakeTable:
         The `_last_seq` predicate prunes files via manifest max_seq stats
         before any scan."""
         old = self.store.load(since_version)
-        watermark = int(old.lease.get("metrics", {}).get("max_seq", -1) or -1)
+        old_ms = old.lease.get("metrics", {}).get("max_seq")
+        watermark = -1 if old_ms is None else int(old_ms)  # 0 is a valid seq
         m = self.manifest()
         buckets = {
             f.bucket for f in m.files
@@ -202,7 +203,15 @@ class LakeTable:
         return df.filter(F.col(SEQ_META_COL) > watermark)
 
     def committed_batches(self) -> set[str]:
+        """EXPLICIT ledger entries only — after watermark pruning this no longer
+        lists every batch ever applied. Use `is_batch_committed` for the
+        exactly-once membership check."""
         return set(self.manifest().committed_batches)
+
+    def is_batch_committed(self, source_id: str, batch_id) -> bool:
+        """Exactly-once inspection: ledger entry OR watermark-covered (the same
+        check merge() performs)."""
+        return self.manifest().is_committed(source_id, batch_id)
 
     def lease(self) -> dict:
         """The inspectable resume lease, mirroring ContinuationTokenItem {id, lease}
@@ -285,10 +294,11 @@ class LakeTable:
         if not agg:
             # carry the parent's max_seq forward: an empty commit must not reset
             # the incremental-read watermark, or read_incremental(since_version=V)
-            # on this snapshot falls back to -1 and re-emits the whole table
-            parent_max_seq = int(m.lease.get("metrics", {}).get("max_seq", -1) or -1)
+            # on this snapshot falls back to -1 and re-emits the whole table.
+            # Explicit None check — `or -1` would clobber a legitimate max_seq=0
+            parent_ms = m.lease.get("metrics", {}).get("max_seq")
             metrics = {"rows": 0, "upserts": 0, "deletes": 0,
-                       "max_seq": parent_max_seq}
+                       "max_seq": -1 if parent_ms is None else int(parent_ms)}
             self._commit(m, m.files, schema, schema_version, ledger_key,
                          source_id, batch_id, lease_token, metrics, lineage)
             return {"skipped": False, "version": m.version + 1, "batch_id": batch_id,

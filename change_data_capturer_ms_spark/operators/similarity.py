@@ -236,17 +236,21 @@ def ivf_topk_det(
         (F.row_number().over(wc) - 1).alias("cell"), F.col("cv").alias("centroid")
     )
 
-    def _sqdist(a, b):
-        return F.aggregate(
+    def _dist(a, b):
+        # sqrt, not squared distance: the DuckDB oracle orders by
+        # list_distance (euclidean) — near-tie squared distances can become
+        # EQUAL doubles after sqrt, flipping the (dist, cell) tiebreak between
+        # engines unless both order by the identical value
+        return F.sqrt(F.aggregate(
             F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0), lambda acc, v: acc + v,
-        )
+        ))
 
     # nearest-cell assignment: broadcast the tiny centroid table, argmin by
     # (distance, cell) — ties break to the smaller cell id on both engines
     assigned = (
         c.crossJoin(F.broadcast(cent))
-        .withColumn("dist", _sqdist(F.col("cv"), F.col("centroid")))
+        .withColumn("dist", _dist(F.col("cv"), F.col("centroid")))
         .withColumn("rn", F.row_number().over(
             Window.partitionBy("neighbor_id").orderBy("dist", "cell")))
         .filter(F.col("rn") == 1)
@@ -255,7 +259,7 @@ def ivf_topk_det(
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
     probes = (
         q.crossJoin(F.broadcast(cent))
-        .withColumn("dist", _sqdist(F.col("qv"), F.col("centroid")))
+        .withColumn("dist", _dist(F.col("qv"), F.col("centroid")))
         .withColumn("pr", F.row_number().over(
             Window.partitionBy("query_id").orderBy("dist", "cell")))
         .filter(F.col("pr") <= nprobe)

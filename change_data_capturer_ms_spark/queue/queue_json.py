@@ -129,22 +129,34 @@ def parse_envelopes(env: DataFrame, payload_schema: T.StructType
     the declared schema (reference per-message failure aggregation,
     eventhub/utils.ts:55-69 — failures are collected, never thrown away).
     """
-    parsed = env.withColumn("payload", F.from_json("body", payload_schema))
-    # from_json is null for undecodable bodies; an all-null struct also means
-    # nothing matched (PERMISSIVE mode fills fields with null on type mismatch)
-    any_field = F.array(*[
-        F.col(f"payload.{f.name}").isNotNull() for f in payload_schema.fields
-    ])
-    bad_cond = F.col("payload").isNull() | (
-        F.col("body").isNotNull() & ~F.array_contains(any_field, F.lit(True))
+    # explicit corrupt-record column: distinguishes a malformed body from a
+    # legitimately all-null payload ('{}' — to_json drops null fields, so a
+    # tombstone row with only key metadata round-trips as '{}'; an all-null
+    # heuristic would misroute it to the failure frame)
+    corrupt = "_corrupt_body"
+    while corrupt in payload_schema.fieldNames():
+        corrupt += "_"
+    schema_c = T.StructType(
+        list(payload_schema.fields) + [T.StructField(corrupt, T.StringType())]
     )
-    # envelope metadata is prefixed so it can never collide with payload columns
+    parsed = env.withColumn(
+        "payload",
+        F.from_json("body", schema_c,
+                    {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt}),
+    )
+    bad_cond = (
+        F.col("payload").isNull()
+        | F.col("body").isNull()
+        | F.col(f"payload.{corrupt}").isNotNull()
+    )
+    # envelope metadata is prefixed so it can never collide with payload columns;
+    # the corrupt-record helper field is excluded from the ok projection
     ok = parsed.filter(~bad_cond).select(
         F.col("key").alias("_msg_key"),
         F.col("source_id").alias("_msg_source_id"),
         F.col("batch_id").alias("_msg_batch_id"),
         F.col("seq").alias("_msg_seq"),
-        "payload.*",
+        *[F.col(f"payload.{f.name}").alias(f.name) for f in payload_schema.fields],
     )
     failed = parsed.filter(bad_cond).drop("payload")
     return ok, failed

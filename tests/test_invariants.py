@@ -392,6 +392,24 @@ class TestMaintenance:
         # non-numeric ids are kept verbatim; maintenance entries keep a tail
         committed, wm = prune_ledger(committed + ["s:manual-0"], wm)
         assert committed == ["s:manual-0"]
+        # negative ids never fold into the watermark (hw=-1 default would
+        # swallow them without coverage) — they stay verbatim
+        committed, wm = prune_ledger(committed + ["s:-1"], wm)
+        assert "s:-1" in committed
+        # a user source merely NAMED like maintenance keeps full ledger folding
+        c2, w2 = [], {}
+        for i in range(30):
+            c2, w2 = prune_ledger(c2 + [f"maintenance_log:{i}"], w2)
+        assert w2 == {"maintenance_log": 29} and c2 == []
+
+        from change_data_capturer_ms_spark.lake.manifest import Manifest
+        fresh = Manifest(version=0, parent=None, schema_json="{}",
+                         schema_version=0, n_buckets=1, key_cols=[], files=[],
+                         committed_batches=[], lease={})
+        # fresh table: NO batch id may read as already-committed
+        assert not fresh.is_committed("s", 0)
+        assert not fresh.is_committed("s", -1)
+        assert not fresh.is_committed("s", "manual-0")
 
         # integration: replay of a watermark-covered batch is still a no-op
         pipe, _ = _pipe(spark, tmpdir_path)
@@ -416,6 +434,18 @@ class TestMaintenance:
         pipe.apply_batch(empty, batch_id=1)
         v_empty = pipe.table.manifest().version
         assert pipe.table.lease()["metrics"]["max_seq"] == 499
+        assert pipe.table.read_incremental(since_version=v_empty).count() == 0
+
+    def test_empty_batch_preserves_max_seq_zero(self, spark, tmpdir_path):
+        """max_seq == 0 is a VALID watermark (one event, seq 0) — a falsy-zero
+        `or -1` fallback would reset it and re-emit the table."""
+        pipe, _ = _pipe(spark, tmpdir_path)
+        one = gen_changelog(spark, 1, seed=24)  # single event, seq=0
+        pipe.apply_batch(one, batch_id=0)
+        assert pipe.table.lease()["metrics"]["max_seq"] == 0
+        pipe.apply_batch(one.filter(F.col("seq") < 0), batch_id=1)  # empty
+        v_empty = pipe.table.manifest().version
+        assert pipe.table.lease()["metrics"]["max_seq"] == 0
         assert pipe.table.read_incremental(since_version=v_empty).count() == 0
 
 

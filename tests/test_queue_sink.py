@@ -66,6 +66,26 @@ def test_uncommitted_batch_is_invisible_and_failures_aggregate(spark, tmpdir_pat
     assert failed.count() == 2
 
 
+def test_all_null_payload_round_trips_as_ok(spark):
+    """to_json drops null fields, so an all-null payload produces body '{}' —
+    a VALID message that must land in `ok` (all fields null), not the DLQ."""
+    from pyspark.sql import types as T
+
+    env = spark.createDataFrame(
+        [("k1", "{}", "cdc", "0", 1),                 # all-null payload
+         ("k2", '{"a": "x"}', "cdc", "0", 2),         # partial payload
+         ("k3", "{broken", "cdc", "0", 3)],           # corrupt body
+        "key string, body string, source_id string, batch_id string, seq long",
+    )
+    payload_schema = T.StructType([
+        T.StructField("a", T.StringType()), T.StructField("b", T.StringType())
+    ])
+    ok, failed = parse_envelopes(env, payload_schema)
+    got = {r["_msg_key"]: (r["a"], r["b"]) for r in ok.collect()}
+    assert got == {"k1": (None, None), "k2": ("x", None)}
+    assert [r["key"] for r in failed.collect()] == ["k3"]
+
+
 def test_pipeline_produces_to_queue(spark, tmpdir_path):
     """Capture -> MERGE apply -> queue produce (the reference topology): every
     applied micro-batch also lands on the queue exactly once."""
