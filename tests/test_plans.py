@@ -98,3 +98,64 @@ def test_lww_dedupe_uses_partial_aggregation(spark, tmpdir_path):
     plan = _plan(df)
     assert "partial_max_by" in plan  # map-side combine present
     assert "Window" not in plan
+
+
+def test_simhash_banded_pairs_plan_has_no_cartesian(spark, sf_dir):
+    """Banded SimHash candidates must come from an equi-join on (band, key) —
+    never a nested-loop/cartesian pair enumeration."""
+    from change_data_capturer_ms_spark.operators import simhash_pairs_banded
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    plan = _plan(simhash_pairs_banded(d, bits=32, bands=4, max_hamming=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_lsh_multiprobe_stays_bucket_equijoin(spark, sf_dir):
+    """Multi-probe explodes the query side but the corpus join must remain a
+    broadcast hash equi-join on the bucket id (never a full-corpus scan per
+    query)."""
+    from change_data_capturer_ms_spark.operators import lsh_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = emb.filter(F.col("vec_id") < 3)
+    plan = _plan(lsh_topk(emb, q, k=5, bits=4, multiprobe=True))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_ngram_df_cap_is_broadcast_anti_join(spark, sf_dir):
+    """The hot-shingle exclusion must be a broadcast anti-join against the tiny
+    hot list — not a second shuffle of the shingle table."""
+    from change_data_capturer_ms_spark.operators import ngram_jaccard_pairs
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    plan = _plan(ngram_jaccard_pairs(d, threshold=0.5, df_cap=100))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_planning_groupingsets_is_bounded_and_udf_free(spark, tmpdir_path):
+    """The per-batch planning aggregation (GROUPING SETS ((p),(bucket))) must
+    expand+aggregate without any Python/Arrow stage and with partial
+    aggregation (collect is bounded by partitions + buckets)."""
+    from change_data_capturer_ms_spark.lake.table import bucket_expr
+
+    log_dir = os.path.join(tmpdir_path, "log")
+    write_changelog(gen_changelog(spark, 1000, seed=36), log_dir)
+    batch = spark.read.parquet(log_dir)
+    pre = (
+        batch.filter(F.col("op").isin("insert", "update", "replace", "delete"))
+        .select("repo", "path", "seq")
+        .withColumn("_bucket", bucket_expr(["repo", "path"], 8))
+        .withColumn("p", F.spark_partition_id())
+    )
+    agg = pre.groupingSets([["p"], ["_bucket"]], "p", "_bucket").agg(
+        F.min("seq"), F.max("seq"), F.count(F.lit(1)), F.grouping_id()
+    )
+    plan = _plan(agg)
+    assert "Expand" in plan and "HashAggregate" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    rows = agg.collect()
+    n_parts = batch.rdd.getNumPartitions()
+    assert len(rows) <= n_parts + 8
