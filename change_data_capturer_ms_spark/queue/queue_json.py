@@ -107,9 +107,27 @@ class JsonQueueSink:
 
     def consume(self) -> DataFrame:
         """All committed envelopes (uncommitted orphan dirs are invisible)."""
+        return self._read_batches(self.committed_batches())
+
+    def consume_incremental(self, after_batch: int | None = None,
+                            source_id: str | None = None) -> DataFrame:
+        """Committed envelopes of numeric batches STRICTLY AFTER `after_batch`
+        (optionally one source only) — the consumer-side tail: a downstream
+        reader remembers its own high watermark and reads O(new batches), never
+        a rescan (markers are the listing; per-batch dirs prune the scan)."""
+        ms = self.committed_batches()
+        if source_id is not None:
+            ms = [m for m in ms if m["source_id"] == source_id]
+        if after_batch is not None:
+            ms = [m for m in ms
+                  if str(m["batch_id"]).isdigit()
+                  and int(m["batch_id"]) > after_batch]
+        return self._read_batches(ms)
+
+    def _read_batches(self, markers: list[dict]) -> DataFrame:
         dirs = [
             os.path.join(self.path, "data", f"{m['source_id']}__{m['batch_id']}")
-            for m in self.committed_batches()
+            for m in markers
         ]
         if not dirs:
             # JVM-side empty relation (see lake/table.py read() codegen note)

@@ -69,3 +69,11 @@ def _queue_json_sink(spark, queue_path, key_cols=("repo", "path"), **kwargs):
     /root/reference/src/queue/eventhub/utils.ts:91-98)."""
     from change_data_capturer_ms_spark.queue import JsonQueueSink
     return JsonQueueSink(spark, queue_path, key_cols=key_cols, **kwargs)
+
+
+@register_source("queue-json")
+def _queue_json_source(spark, queue_path, key_cols=("repo", "path"), **kwargs):
+    """The same durable queue as a SOURCE: downstream consumers tail committed
+    envelopes incrementally (consume / consume_incremental)."""
+    from change_data_capturer_ms_spark.queue import JsonQueueSink
+    return JsonQueueSink(spark, queue_path, key_cols=key_cols, **kwargs)

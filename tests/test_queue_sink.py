@@ -111,3 +111,25 @@ def test_pipeline_produces_to_queue(spark, tmpdir_path):
     # drained log -> no new envelopes on re-run
     pipe.run_stream()
     assert q.consume().count() == captured
+
+
+def test_consume_incremental_tails_new_batches(spark, tmpdir_path):
+    """A downstream consumer remembers its batch watermark and reads only
+    newer committed batches (queue as a registered SOURCE)."""
+    from change_data_capturer_ms_spark.sources.registry import create_source
+
+    q = create_source("queue-json", spark, os.path.join(tmpdir_path, "q5"))
+    for b in range(3):
+        q.produce(gen_changelog(spark, 100, seed=40 + b, start_seq=100 * b),
+                  batch_id=b)
+    assert q.consume().count() == 300
+    inc = q.consume_incremental(after_batch=0)
+    assert inc.count() == 200
+    assert set(r["batch_id"] for r in inc.select("batch_id").distinct().collect()) \
+        == {"1", "2"}
+    assert q.consume_incremental(after_batch=2).count() == 0
+    # per-source filter
+    q.produce(gen_changelog(spark, 50, seed=44, start_seq=300),
+              batch_id=0, source_id="other")
+    assert q.consume_incremental(after_batch=0, source_id="other").count() == 0
+    assert q.consume_incremental(after_batch=-1, source_id="other").count() == 50
