@@ -182,6 +182,63 @@ def minhash_lsh_pairs(
     return out.select("id_a", "id_b", "est_jaccard")
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: (id, cluster_id) where
+    cluster_id = the smallest doc id in the component (the canonical survivor
+    every dedup pipeline keeps).
+
+    Min-label propagation: each round every node adopts the minimum label in
+    its closed neighborhood; converges in O(component diameter) rounds —
+    near-dup clusters are dense and shallow, so a handful of rounds suffices
+    (the CC-MR / large-star-small-star family is the same idea with edge
+    rewriting; plain propagation keeps the per-round plan to one join + one
+    aggregation on the co-partitioned node key). Each round localCheckpoints
+    the label table: without it the iterative lineage grows a plan Catalyst
+    re-optimizes from scratch every round.
+
+    Raises after max_iter without convergence (pathological chain — raise the
+    bound or pre-bucket). Iterative ⇒ not oracle-SQL-expressible; verified
+    against a union-find reference in tests.
+    """
+    edges = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("u").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh_min = (
+            edges.join(labels, edges.v == labels.id)
+            .groupBy("u").agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels.id == neigh_min.u, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("id", F.col("label").alias("cluster_id"))
+    raise RuntimeError(f"duplicate_clusters did not converge in {max_iter} rounds")
+
+
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
 ) -> DataFrame:

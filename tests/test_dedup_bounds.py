@@ -55,3 +55,39 @@ def test_simhash_banded_finds_near_dups_and_matches_bruteforce(spark):
             if h <= 3:
                 want[(a, b)] = h
     assert got == want and len(want) > 0
+
+
+def test_duplicate_clusters_matches_union_find(spark):
+    """Min-label propagation CC == a plain union-find over the same pairs."""
+    import random
+
+    from change_data_capturer_ms_spark.operators import duplicate_clusters
+
+    rng = random.Random(7)
+    # several chains/cliques + singleton-free edge list
+    pairs = [(i, i + 1) for i in range(0, 10)]            # one 11-node chain
+    pairs += [(100 + a, 100 + b) for a in range(5) for b in range(a + 1, 5)]
+    pairs += [(rng.randrange(200, 240), rng.randrange(200, 240)) for _ in range(30)]
+    pairs = [(a, b) if a < b else (b, a) for a, b in pairs if a != b]
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in pairs:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"] for r in duplicate_clusters(df).collect()}
+    assert got == want
+    # every cluster id is the component minimum
+    assert all(cid == min(k for k, v in got.items() if v == cid)
+               for cid in set(got.values()))
