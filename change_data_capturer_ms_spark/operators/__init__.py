@@ -10,6 +10,7 @@ from change_data_capturer_ms_spark.operators.grouped import (
     zscore_normalize,
 )
 from change_data_capturer_ms_spark.operators.dedup_docs import (
+    dedup_dataset,
     duplicate_clusters,
     exact_dedup,
     minhash_lsh_pairs,
@@ -49,7 +50,7 @@ from change_data_capturer_ms_spark.operators.multimodal import (
 __all__ = [
     "lww_dedupe", "lww_dedupe_two_phase", "lww_dedupe_window", "salted_repartition",
     "streaming_dedupe_within_watermark", "weighted_mean_agg", "zscore_normalize",
-    "duplicate_clusters", "exact_dedup", "minhash_lsh_pairs", "minhash_signatures",
+    "dedup_dataset", "duplicate_clusters", "exact_dedup", "minhash_lsh_pairs", "minhash_signatures",
     "ngram_jaccard_pairs", "simhash", "simhash_dup_pairs",
     "simhash_pairs_banded", "word_shingles",
     "brute_force_topk", "cosine_sim", "embedding_near_dup_pairs", "ivf_topk",

@@ -239,6 +239,50 @@ def duplicate_clusters(
     raise RuntimeError(f"duplicate_clusters did not converge in {max_iter} rounds")
 
 
+def dedup_dataset(
+    df: DataFrame,
+    method: str = "minhash",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """The end-user dedup operation: the corpus minus non-canonical near-dups.
+
+    method='exact'  : drop every row whose sha256(text) group has a smaller id.
+    method='minhash': MinHash-LSH candidate pairs at est_jaccard ≥ threshold →
+                      connected components → keep the min-id doc per cluster.
+    method='simhash': banded hamming-≤max_hamming pairs → same clustering.
+
+    Plan shape: pair mining is bucketed (never all-pairs); the loser set is a
+    small fraction of the corpus, so the final subtraction is a broadcast
+    LEFT ANTI join — the full corpus is scanned once and never shuffled.
+    """
+    if method == "exact":
+        from pyspark.sql import Window
+
+        losers = (
+            df.select(F.col(id_col).alias("id"), F.sha2(F.col(text_col), 256).alias("h"))
+            .withColumn("keep", F.min("id").over(Window.partitionBy("h")))
+            .filter(F.col("id") != F.col("keep"))
+            .select("id")
+        )
+    else:
+        if method == "minhash":
+            pairs = minhash_lsh_pairs(df, bands=bands, text_col=text_col,
+                                      id_col=id_col, min_est=threshold)
+        elif method == "simhash":
+            pairs = simhash_pairs_banded(df, text_col=text_col, id_col=id_col,
+                                         bits=32, bands=bands,
+                                         max_hamming=max_hamming)
+        else:
+            raise ValueError(f"unknown dedup method: {method}")
+        clusters = duplicate_clusters(pairs)
+        losers = clusters.filter(F.col("id") != F.col("cluster_id")).select("id")
+    return df.join(F.broadcast(losers), df[id_col] == losers.id, "left_anti")
+
+
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
 ) -> DataFrame:

@@ -91,3 +91,29 @@ def test_duplicate_clusters_matches_union_find(spark):
     # every cluster id is the component minimum
     assert all(cid == min(k for k, v in got.items() if v == cid)
                for cid in set(got.values()))
+
+
+def test_dedup_dataset_keeps_canonicals_and_uniques(spark):
+    from change_data_capturer_ms_spark.operators import dedup_dataset
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    # genuinely disjoint token sets — shared templates would legitimately
+    # cluster under MinHash at this threshold
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(12))) for i in range(10)]
+    rows += [(100, base), (101, base), (102, base + " x")]  # near-dup cluster
+    docs = _docs(spark, rows)
+
+    out_exact = dedup_dataset(docs, method="exact")
+    ids_exact = {r["doc_id"] for r in out_exact.select("doc_id").collect()}
+    assert 100 in ids_exact and 101 not in ids_exact  # exact dup dropped
+    assert 102 in ids_exact                            # near-dup kept by exact
+
+    out_mh = dedup_dataset(docs, method="minhash", threshold=0.5)
+    ids_mh = {r["doc_id"] for r in out_mh.select("doc_id").collect()}
+    assert set(range(10)) <= ids_mh          # uniques untouched
+    assert 100 in ids_mh                     # canonical survivor
+    assert 101 not in ids_mh and 102 not in ids_mh  # cluster losers dropped
+
+    out_sh = dedup_dataset(docs, method="simhash", max_hamming=3)
+    ids_sh = {r["doc_id"] for r in out_sh.select("doc_id").collect()}
+    assert 100 in ids_sh and 101 not in ids_sh
