@@ -30,6 +30,7 @@ from change_data_capturer_ms_spark.operators.similarity import (
     ivf_topk_det,
     lsh_topk,
     normalize_embeddings,
+    pq_topk,
     quantize_embeddings_int8,
 )
 from change_data_capturer_ms_spark.operators.text import (
@@ -55,7 +56,7 @@ __all__ = [
     "simhash_pairs_banded", "word_shingles",
     "brute_force_topk", "cosine_sim", "embedding_near_dup_pairs", "ivf_topk",
     "ivf_topk_det", "lsh_topk", "normalize_embeddings",
-    "quantize_embeddings_int8", "dequantize_embeddings",
+    "pq_topk", "quantize_embeddings_int8", "dequantize_embeddings",
     "doc_fingerprint", "lang_id_builtin", "lang_id_pandas", "quality_scores",
     "token_count_bpe_ish", "token_count_ws", "winnow_fingerprints",
     "extract_media_features", "frame_sample", "synth_media",

@@ -279,6 +279,138 @@ def ivf_topk_det(
     )
 
 
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 16,
+    rerank: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN top-k (ADC + exact re-rank), pure DataFrame.
+
+    Train: the vector space splits into `m` subspaces; each subspace gets a
+    `n_codes`-entry codebook seeded deterministically (the sub-vectors of the
+    corpus rows with the smallest md5 id-hash — same hash-seeding trick as
+    `ivf_topk_det`, so results are reproducible without iterative training).
+    Encode: every corpus vector stores only m one-byte codes (argmin centroid
+    per subspace) — a 4-byte-per-dim float corpus compresses ~dim*4/m bytes
+    per vector, the reason PQ is THE billion-vector technique.
+    Search: asymmetric distance — per query a (sub, code) → partial-distance
+    lookup table (m×n_codes rows, broadcast); approx dist = sum of m lookups;
+    the top `rerank` candidates per query get exact cosine re-ranking.
+
+    Plan shape: codebooks and LUTs are tiny broadcasts; the scoring join hits
+    the (vec, sub, code) table on (sub, code) with map-side partial sums, and
+    only `rerank` rows per query touch the full vectors again. At true scale
+    the LUT sum runs as an Arrow `mapInPandas` over packed code arrays instead
+    of the join formulation — same algebra, fewer shuffled rows; the join form
+    keeps this sandbox implementation 100% JVM-side.
+    """
+    from pyspark.sql import Window
+
+    from change_data_capturer_ms_spark.functions.hashing2 import md5_long56
+
+    c = corpus.select(F.col(id_col).alias("vec"), _as_double(vec_col).alias("v"))
+    # L2-normalize before quantization: ADC ranks by euclidean distance, and
+    # only on unit vectors is that monotone in the cosine objective (the exact
+    # re-rank below uses the original vectors, where cosine is norm-invariant)
+    c = (
+        c.withColumn("_n", _norm(F.col("v")))
+        .withColumn("v", F.when(F.col("_n") == 0.0, F.col("v"))
+                    .otherwise(F.transform("v", lambda x: x / F.col("_n"))))
+        .drop("_n")
+    )
+    dim = len(c.first()["v"])
+    assert dim % m == 0, "m must divide the embedding dimension"
+    w = dim // m
+
+    # exploded sub-vectors: (vec, sub, sv)
+    subs = c.select(
+        "vec",
+        F.explode(F.array(*[
+            F.struct(F.lit(s).alias("sub"),
+                     F.slice("v", s * w + 1, w).alias("sv"))
+            for s in range(m)
+        ])).alias("x"),
+    ).select("vec", F.col("x.sub").alias("sub"), F.col("x.sv").alias("sv"))
+
+    # deterministic codebooks: per subspace, the n_codes sub-vectors of the
+    # smallest-id-hash corpus rows, code ids in hash order
+    hashed = subs.withColumn("h", md5_long56(F.col("vec").cast("string")))
+    wcb = Window.partitionBy("sub").orderBy("h", "vec")
+    codebook = (
+        hashed.withColumn("rn", F.row_number().over(wcb))
+        .filter(F.col("rn") <= n_codes)
+        .select("sub", (F.col("rn") - 1).alias("code"), F.col("sv").alias("centroid"))
+    )
+
+    def _sqd(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                           F.lit(0.0), lambda acc, v: acc + v)
+
+    # encode: argmin centroid per (vec, sub) — broadcast m*n_codes codebook
+    codes = (
+        subs.join(F.broadcast(codebook), "sub")
+        .withColumn("d", _sqd(F.col("sv"), F.col("centroid")))
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("vec", "sub").orderBy("d", "code")))
+        .filter(F.col("rn") == 1)
+        .select("vec", "sub", "code")
+    )
+
+    # per-query LUT: partial distance query-subvector -> every (sub, code)
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+    q = (
+        q.withColumn("_n", _norm(F.col("qv")))
+        .withColumn("qv", F.when(F.col("_n") == 0.0, F.col("qv"))
+                    .otherwise(F.transform("qv", lambda x: x / F.col("_n"))))
+        .drop("_n")
+    )
+    qsubs = q.select(
+        "query_id", "qv",
+        F.explode(F.array(*[
+            F.struct(F.lit(s).alias("sub"),
+                     F.slice("qv", s * w + 1, w).alias("qsv"))
+            for s in range(m)
+        ])).alias("x"),
+    ).select("query_id", F.col("x.sub").alias("sub"), F.col("x.qsv").alias("qsv"))
+    lut = (
+        qsubs.join(F.broadcast(codebook), "sub")
+        .select("query_id", "sub", "code",
+                _sqd(F.col("qsv"), F.col("centroid")).alias("pd"))
+    )
+
+    # ADC: sum the m lookups per (query, vec); partial aggregation map-side
+    approx = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy("query_id", "vec")
+        .agg(F.sum("pd").alias("adist"))
+        .filter(F.col("query_id") != F.col("vec"))
+    )
+    cand = (
+        approx.withColumn("rn", F.row_number().over(
+            Window.partitionBy("query_id").orderBy("adist", "vec")))
+        .filter(F.col("rn") <= rerank)
+        .select("query_id", F.col("vec").alias("neighbor_id"))
+    )
+
+    # exact re-rank of the small candidate set
+    scored = (
+        cand.join(c.withColumnRenamed("vec", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cosine", cosine_sim(F.col("qv"), F.col("v")))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
 def normalize_embeddings(df: DataFrame, vec_col: str = "embedding",
                          id_col: str = "vec_id") -> DataFrame:
     """L2-normalize an embedding column (unit vectors) — pure Catalyst.

@@ -57,3 +57,28 @@ def test_ivf_det_recall_and_multiprobe_lift(spark, sf_dir):
     # unchanged plan shape: scanning bits+1 of 2^bits buckets multiplies recall
     assert r_multi >= r_single + 0.1, (r_single, r_multi)
     assert r_multi >= 0.25, f"multi-probe recall too low: {r_multi}"
+
+
+def test_pq_topk_recall_and_determinism(spark, sf_dir):
+    """Product-quantization ANN: decent recall vs brute force after exact
+    re-rank; fully deterministic (hash-seeded codebooks, no training)."""
+    from change_data_capturer_ms_spark.operators import pq_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in brute_force_topk(emb, queries, k=5).collect()}
+    # near-random 64-dim vectors need fine subspaces: 4-dim × 32 codes gives
+    # recall ≈ 0.9 at rerank=30; coarse m=4 × 16 codes measures ≈ 0.16
+    got = {(r["query_id"], r["neighbor_id"])
+           for r in pq_topk(emb, queries, k=5, m=16, n_codes=32, rerank=30).collect()}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.7, f"PQ recall too low: {recall}"
+    again = {(r["query_id"], r["neighbor_id"])
+             for r in pq_topk(emb, queries, k=5, m=16, n_codes=32, rerank=30).collect()}
+    assert got == again
+    # rerank == corpus size degenerates to exact search
+    n = emb.count()
+    full = {(r["query_id"], r["neighbor_id"])
+            for r in pq_topk(emb, queries, k=5, m=16, n_codes=32, rerank=n).collect()}
+    assert full == exact
