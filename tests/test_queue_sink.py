@@ -133,3 +133,39 @@ def test_consume_incremental_tails_new_batches(spark, tmpdir_path):
               batch_id=0, source_id="other")
     assert q.consume_incremental(after_batch=0, source_id="other").count() == 0
     assert q.consume_incremental(after_batch=-1, source_id="other").count() == 50
+
+
+def test_queue_to_downstream_lake_chain(spark, tmpdir_path):
+    """Full topology: upstream captures the log into lake A and produces to the
+    queue; a DOWNSTREAM consumer tails committed envelopes, decodes them and
+    MERGEs into its own lake B — final states must match row for row."""
+    from pyspark.sql import types as T
+
+    from change_data_capturer_ms_spark.config import EngineConfig
+    from change_data_capturer_ms_spark.lake.table import LakeTable
+    from change_data_capturer_ms_spark.sources import write_changelog
+    from change_data_capturer_ms_spark.streaming import CDCPipeline
+
+    q = JsonQueueSink(spark, os.path.join(tmpdir_path, "q"))
+    a = LakeTable(spark, f"{tmpdir_path}/lakeA", key_cols=["repo", "path"], n_buckets=4)
+    log = gen_changelog(spark, 600, seed=37, n_repos=6, paths_per_repo=4)
+    write_changelog(log, f"{tmpdir_path}/log")
+    CDCPipeline(spark, f"{tmpdir_path}/log", a, f"{tmpdir_path}/ckptA",
+                cfg=EngineConfig(n_buckets=4), use_pandas_udfs=False,
+                queue_sink=q).run_stream()
+
+    # downstream consumer: tail everything after its watermark, decode, apply
+    b = LakeTable(spark, f"{tmpdir_path}/lakeB", key_cols=["repo", "path"], n_buckets=4)
+    env = q.consume_incremental(after_batch=-1)
+    rows, failed = parse_envelopes(env, log.schema)
+    assert failed.count() == 0
+    payload = [f for f in log.schema.fields if f.name not in ("seq", "op")]
+    b.create(T.StructType(payload))
+    batch = rows.drop("_msg_key", "_msg_source_id", "_msg_batch_id", "_msg_seq")
+    b.merge(batch, seq_col="seq", op_col="op", batch_id=0,
+            source_id="queue-consumer", tiebreakers=["token"])
+
+    cols = ["repo", "path", "content", "_last_seq"]
+    sa = a.read().select(*cols).orderBy("repo", "path")
+    sb = b.read().select(*cols).orderBy("repo", "path")
+    assert sa.exceptAll(sb).count() == 0 and sb.exceptAll(sa).count() == 0
