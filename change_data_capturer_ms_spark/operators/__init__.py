@@ -38,9 +38,23 @@ from change_data_capturer_ms_spark.operators.text import (
     lang_id_builtin,
     lang_id_pandas,
     quality_scores,
+    tfidf_top_terms,
     token_count_bpe_ish,
     token_count_ws,
     winnow_fingerprints,
+)
+from change_data_capturer_ms_spark.operators.sampling import (
+    hash_sample,
+    hash_split,
+    stratified_sample_exact,
+)
+from change_data_capturer_ms_spark.operators.delta import (
+    change_deltas,
+    content_change_audit,
+)
+from change_data_capturer_ms_spark.operators.reshape import (
+    melt,
+    pivot_counts,
 )
 from change_data_capturer_ms_spark.operators.multimodal import (
     extract_media_features,
@@ -58,6 +72,9 @@ __all__ = [
     "ivf_topk_det", "lsh_topk", "normalize_embeddings",
     "pq_topk", "quantize_embeddings_int8", "dequantize_embeddings",
     "doc_fingerprint", "lang_id_builtin", "lang_id_pandas", "quality_scores",
-    "token_count_bpe_ish", "token_count_ws", "winnow_fingerprints",
+    "tfidf_top_terms", "token_count_bpe_ish", "token_count_ws", "winnow_fingerprints",
     "extract_media_features", "frame_sample", "synth_media",
+    "hash_sample", "hash_split", "stratified_sample_exact",
+    "change_deltas", "content_change_audit",
+    "melt", "pivot_counts",
 ]

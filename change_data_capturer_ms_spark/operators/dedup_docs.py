@@ -331,6 +331,7 @@ def simhash_pairs_banded(
     bits: int = 16,
     bands: int = 4,
     max_hamming: int = 3,
+    with_sigs: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance ≤ max_hamming, found via
     banded buckets (never an all-pairs join).
@@ -371,5 +372,7 @@ def simhash_pairs_banded(
     return (
         cand.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .select("id_a", "id_b", "hamming",
+                *([F.col("sim_a").alias("sig_a"), F.col("sim_b").alias("sig_b")]
+                  if with_sigs else []))
     )

@@ -1,0 +1,105 @@
+"""Deterministic dataset splitting & sampling for training-data pipelines.
+
+Hash-based, NOT random: split membership is a pure function of the key, so
+retries, re-partitioning, cluster resizes and incremental re-runs never move a
+document between train/val/test. Seeded `df.sample()` does not have that
+property (it samples per-partition, so any repartition reshuffles membership) —
+at 100 TB with speculative re-execution that silently leaks eval data into
+train. A key-hash threshold is the standard fix (same trick as bucketed joins:
+the decision rides on the value, not on physical placement).
+
+The bucket hash is the cross-engine md5-derived 56-bit hash
+(functions/hashing2.md5_long56) so the DuckDB oracle rederives membership
+bit-exactly; a salt string namespaces independent splits of the same corpus.
+
+Scale shape: one projection (md5 + mod + CASE), whole-stage codegen, no
+shuffle, no UDF. `stratified_sample` adds one window per stratum — used only
+when an EXACT per-stratum count is required; the hash-threshold variant is the
+100 TB default (fraction holds per stratum in expectation because the hash is
+uniform and independent of any column).
+
+Reference anchor: the reference has no sampling surface (it is a capture loop,
+src/capturer/*); this is part of the training-data operator set the engine
+adds on top (SURVEY.md §2.2 extras).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing2 import md5_long56
+
+_BUCKETS = 10_000  # split/sample resolution: 0.01% granularity
+
+
+def _key_bucket(key_col: str | Column, salt: str) -> Column:
+    """Deterministic uniform bucket in [0, _BUCKETS) from a key + salt."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    return md5_long56(F.concat_ws(":", F.lit(salt), c.cast("string"))) % F.lit(_BUCKETS)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: Sequence[tuple[str, float]] = (("train", 0.8), ("val", 0.1), ("test", 0.1)),
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by key hash (cumulative thresholds).
+
+    Weights must sum to 1.0 (validated). Rows sharing a key always land in the
+    same split — dedupe-safe and join-safe.
+    """
+    total = sum(w for _, w in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1.0, got {total}")
+    bucket = _key_bucket(key_col, salt)
+    expr = None
+    cum = 0.0
+    for name, w in splits[:-1]:
+        cum += w
+        cond = bucket < F.lit(int(round(cum * _BUCKETS)))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = splits[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
+def hash_split_case_sql(key_expr: str,
+                        splits: Sequence[tuple[str, float]] = (
+                            ("train", 0.8), ("val", 0.1), ("test", 0.1)),
+                        salt: str = "split") -> str:
+    """DuckDB twin of hash_split's split expression (oracle side)."""
+    h = (f"(('0x' || substr(md5('{salt}:' || CAST({key_expr} AS VARCHAR)), 1, 14))"
+         f"::BIGINT % {_BUCKETS})")
+    parts, cum = [], 0.0
+    for name, w in splits[:-1]:
+        cum += w
+        parts.append(f"WHEN {h} < {int(round(cum * _BUCKETS))} THEN '{name}'")
+    return "CASE " + " ".join(parts) + f" ELSE '{splits[-1][0]}' END"
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float,
+                salt: str = "sample") -> DataFrame:
+    """Deterministic ~`fraction` sample by key hash (stable across re-runs and
+    re-partitionings; uniform within every stratum of any other column)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(_key_bucket(key_col, salt) < F.lit(int(round(fraction * _BUCKETS))))
+
+
+def stratified_sample_exact(df: DataFrame, strata_cols: Sequence[str], key_col: str,
+                            fraction: float, salt: str = "sample") -> DataFrame:
+    """EXACT ceil(fraction * n) rows per stratum, deterministically chosen by
+    hash order (then key as tiebreak). One window shuffle on the strata — use
+    only when exact counts matter; `hash_sample` is the no-shuffle default."""
+    w = (Window.partitionBy(*strata_cols)
+         .orderBy(_key_bucket(key_col, salt).asc(), F.col(key_col).asc()))
+    cw = Window.partitionBy(*strata_cols)
+    return (df.withColumn("_rk", F.row_number().over(w))
+              .withColumn("_n", F.count(F.lit(1)).over(cw))
+              .filter(F.col("_rk") <= F.ceil(F.col("_n") * F.lit(fraction)))
+              .drop("_rk", "_n"))

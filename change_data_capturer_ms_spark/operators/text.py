@@ -104,6 +104,45 @@ def lang_id_pandas(col: str | Column) -> Column:
     return _langid_pd(c)
 
 
+def tfidf_top_terms(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                    top_k: int = 50) -> DataFrame:
+    """Corpus-level TF-IDF term ranking: for each term, the number of documents
+    containing it (doc_freq), total occurrences (total_tf), smoothed
+    idf = ln((N+1)/(doc_freq+1)) + 1, and score = total_tf * idf; top-k terms.
+
+    Ranking uses the INTEGER keys (doc_freq desc, total_tf desc, term asc) so
+    the cutoff is deterministic across engines — ordering by the float score
+    can flip inclusion at the boundary on 1-ulp differences.
+
+    Plan: explode → per-(doc,term) count (map-side combine collapses the heavy
+    duplication before the shuffle) → per-term agg → broadcast 1-row corpus
+    count → top-k. Two shuffles total, both keyed on term after the first
+    combine; no UDF. At 100 TB the term dictionary is the small side — the
+    final top-k is a tiny sort.
+    """
+    terms = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.sum("tf").alias("total_tf"),
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = stats.join(F.broadcast(n_docs)).select(
+        "term", "doc_freq", "total_tf",
+        F.round(F.log((F.col("n_docs") + 1) / (F.col("doc_freq") + 1)) + 1, 5)
+         .alias("idf"),
+        F.round(F.col("total_tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("doc_freq") + 1)) + 1), 5)
+         .alias("tfidf"),
+    )
+    return (scored.orderBy(F.col("doc_freq").desc(), F.col("total_tf").desc(),
+                           F.col("term").asc())
+                  .limit(top_k))
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                     n: int = 4) -> DataFrame:
     """Rolling-hash document fingerprint: min & max md5-56 hash over word n-grams
