@@ -114,6 +114,10 @@ class Manifest:
     committed_at: float = 0.0
     # per-source high watermark: every numeric batch id ≤ hw is committed
     batch_watermarks: dict = field(default_factory=dict)
+    # "cow" (copy-on-write: MERGE rewrites affected buckets) or "mor"
+    # (merge-on-read: MERGE appends per-bucket delta files; readers resolve
+    # per-key LWW; compact() folds deltas). Default keeps old manifests valid.
+    write_mode: str = "cow"
 
     def is_committed(self, source_id: str, batch_id) -> bool:
         """Exactly-once check: ledger entry OR covered by the source watermark.

@@ -12,6 +12,13 @@ Physical layout and why it scales (SURVEY.md §4):
   the micro-batch* (copy-on-write at bucket granularity); unaffected buckets' files
   carry over into the new snapshot untouched. At 100 TB with O(10^4) buckets a
   typical batch rewrites a small fraction of the table.
+- Two write modes (Iceberg v1/v2 parity, `write_mode` at create): **cow** rewrites
+  each affected bucket (scan-cheap reads); **mor** appends only the batch's per-key
+  winners as delta files — write cost O(batch) — and readers of a multi-file bucket
+  resolve per-key LWW on `_last_seq` (one aggregation) until `compact()` folds the
+  deltas back to one base file per bucket. Tombstone rules are mode-aware:
+  `expire_tombstones` on a mor table touches only fully-compacted buckets, since a
+  delta tombstone may be suppressing an older base-file row.
 - Because existing rows and batch rows hash-agree on bucket, MERGE needs **no join at
   all**: union(existing-in-affected-buckets, deduped-batch) → per-key LWW max_by →
   drop delete-winners → rewrite those buckets. The only shuffle is the max_by
@@ -62,12 +69,30 @@ class LakeTable:
         path: str,
         key_cols: list[str] | None = None,
         n_buckets: int = 16,
+        write_mode: str = "cow",
     ):
+        """`write_mode` picks the write-vs-read amplification tradeoff:
+
+        - "cow" (default): MERGE rewrites every affected bucket — reads are a
+          plain scan, writes cost O(bucket size). Right when batches are large
+          relative to buckets or reads dominate.
+        - "mor": MERGE appends only the batch's per-key winners as delta files
+          in the affected buckets — writes cost O(batch), reads of a
+          multi-file bucket add one per-key LWW aggregation until `compact()`
+          folds the deltas (Iceberg v2 merge-on-read re-expressed). Right for
+          high-frequency small batches over huge buckets at 100 TB.
+
+        The mode is recorded in the manifest at create() and is a property of
+        the table, not the writer session.
+        """
+        if write_mode not in ("cow", "mor"):
+            raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
         self.spark = spark
         self.path = path
         self.store = ManifestStore(path)
         self._key_cols = key_cols or ["repo", "path"]
         self._n_buckets = n_buckets
+        self._write_mode = write_mode
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -97,6 +122,7 @@ class LakeTable:
             files=[],
             committed_batches=[],
             lease={},
+            write_mode=self._write_mode,
         )
         self.store.commit(m, expected_parent=None)
         return m
@@ -142,6 +168,17 @@ class LakeTable:
             # explicit manifest schema (not mergeSchema): O(1) planning instead of a
             # footer scan over every file, and NULL-fill for pre-evolution files
             df = self.spark.read.schema(schema).parquet(*paths)
+        # merge-on-read resolution: a delta file may carry a newer version (or a
+        # tombstone) of a key whose older row sits in the same bucket's base
+        # file — per-key LWW on _last_seq BEFORE any tombstone filtering, so a
+        # delta delete suppresses its base row. Skipped entirely when every
+        # scanned bucket holds one file (fully compacted ⇒ no duplicates).
+        if m.write_mode == "mor" and files:
+            per_bucket: dict[int, int] = {}
+            for f in files:
+                per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+            if any(v > 1 for v in per_bucket.values()):
+                df = lww_dedupe(df, m.key_cols, seq_col=SEQ_META_COL)
         if not include_deleted and OP_META_COL in schema.fieldNames():
             df = df.filter(
                 F.col(OP_META_COL).isNull() | (F.col(OP_META_COL) != "delete")
@@ -308,8 +345,12 @@ class LakeTable:
         max_seq = max(r["max_seq"] for r in agg)
 
         # 2) existing rows in affected buckets only (bucket-pruned snapshot scan),
-        #    INCLUDING tombstones — a stored delete must keep outranking older seqs
-        has_existing = any(f.bucket in affected for f in m.files)
+        #    INCLUDING tombstones — a stored delete must keep outranking older seqs.
+        #    merge-on-read: skip this read entirely — the batch's own winners are
+        #    appended as delta files and readers/compaction resolve LWW later, so
+        #    the write job is O(batch) instead of O(affected bucket contents)
+        mor = m.write_mode == "mor"
+        has_existing = (not mor) and any(f.bucket in affected for f in m.files)
         incoming = batch.withColumn("_prio", F.lit(1))
         if has_existing:
             existing = self.read(buckets=affected, include_deleted=True)
@@ -352,17 +393,24 @@ class LakeTable:
             F.sum(F.when(F.col("_prio") == 1, 1).otherwise(0)).alias("batch_winners"),
         )
         # delete-winners are KEPT as tombstones (see read() docstring); they leave
-        # the table only via expire_tombstones() once the low-watermark passes
-        final = (
+        # the table only via expire_tombstones() once the low-watermark passes.
+        # Null-fill columns the batch does not carry (merge-on-read appends the
+        # batch alone, which may lack pre-evolution payload columns).
+        aligned = (
             winners.withColumn(SEQ_META_COL, F.col(seq_col))
             .withColumn(OP_META_COL, F.col(op_col))
-            .select(*out_cols)
         )
+        final = aligned.select(*[
+            F.col(c) if c in aligned.columns
+            else F.lit(None).cast(schema[c].dataType).alias(c)
+            for c in out_cols
+        ])
 
-        # 5) copy-on-write: rewrite affected buckets into this version's data dir
+        # 5) cow: rewrite affected buckets; mor: append the deltas, keep all files
         new_files = self._write_buckets(final, keys, n_buckets, m.version + 1,
                                         len(affected))
-        carried = [f for f in m.files if f.bucket not in affected]
+        carried = (list(m.files) if mor
+                   else [f for f in m.files if f.bucket not in affected])
         rows_written = sum(f.rows for f in new_files)
         wm = obs.get
         batch_winners = int(wm.get("batch_winners") or 0)
@@ -384,25 +432,39 @@ class LakeTable:
     # -- maintenance ----------------------------------------------------------
 
     def compact(self, target_file_bytes: int = 128 * 1024 * 1024,
-                min_files_per_bucket: int = 2) -> dict:
+                min_files_per_bucket: int = 2,
+                sort_cols: list[str] | None = None) -> dict:
         """Bin-pack small files: rewrite every bucket holding ≥ min_files_per_bucket
         files whose combined size is under target_file_bytes.
 
         Steady-state MERGE leaves one file per touched bucket, but schema-evolution
         carry-over and tiny micro-batches accumulate small files; at 100 TB unmanaged
         small files dominate scan planning cost (this is Iceberg's rewrite_data_files
-        maintenance action re-expressed). Data content is byte-identical after
+        maintenance action re-expressed). Data content is row-identical after
         compaction — only the file layout changes; commit goes through the same
         atomic-manifest protocol so concurrent readers keep their snapshot.
+
+        `sort_cols` = Iceberg's SORT rewrite strategy: cluster each rewritten
+        bucket file on the given columns (typically the key). Hash bucketing
+        spreads any single key range across buckets, so FILE-level column
+        stats cannot prune key predicates — but a within-file sort tightens
+        parquet ROW-GROUP statistics, which Spark's native parquet pushdown
+        then skips without any engine code on the read path. One extra local
+        sort per rewritten bucket (no extra shuffle: sortWithinPartitions
+        rides the same repartition the rewrite already does).
         """
         m = self.manifest()
         by_bucket: dict[int, list[FileEntry]] = {}
         for f in m.files:
             by_bucket.setdefault(f.bucket, []).append(f)
+        # merge-on-read: every multi-file bucket is a victim regardless of size —
+        # the point is folding delta files back into one resolved base file
+        # (bounding read-side LWW work), not just bin-packing small files
+        mor = m.write_mode == "mor"
         victims = {
             b: fs for b, fs in by_bucket.items()
             if len(fs) >= min_files_per_bucket
-            and sum(f.bytes for f in fs) <= target_file_bytes
+            and (mor or sum(f.bytes for f in fs) <= target_file_bytes)
         }
         if not victims:
             return {"compacted_buckets": 0, "version": m.version}
@@ -412,7 +474,8 @@ class LakeTable:
         # propagation in read_incremental
         df = self.read(buckets=set(victims), include_deleted=True)
         new_files = self._write_buckets(df, m.key_cols, m.n_buckets,
-                                        m.version + 1, len(victims))
+                                        m.version + 1, len(victims),
+                                        sort_cols=sort_cols)
         carried = [f for f in m.files if f.bucket not in victims]
         # maintenance commit: same atomic protocol, but the resume lease is
         # carried over untouched — compaction must never move the CDC cursor
@@ -433,6 +496,7 @@ class LakeTable:
             committed_batches=batches,
             lease=dict(m.lease),
             batch_watermarks=watermarks,
+            write_mode=m.write_mode,
         )
         self.store.commit(new, expected_parent=m.version)
         return {"compacted_buckets": len(victims), "version": m.version + 1,
@@ -457,8 +521,20 @@ class LakeTable:
             F.col(OP_META_COL).eqNullSafe("delete") & (F.col(SEQ_META_COL) < min_seq),
             F.lit(False),
         )
-        # candidate files by min_seq stats, then exact bucket set in one small agg
-        cand = {f.bucket for f in m.files if f.min_seq is None or f.min_seq < min_seq}
+        # candidate files by min_seq stats, then exact bucket set in one small agg.
+        # merge-on-read: only fully-compacted (single-file) buckets are eligible —
+        # a delta tombstone may be suppressing an older live row in the same
+        # bucket's base file, and dropping it before compact() folds the bucket
+        # would resurrect that row. compact() first, then expire.
+        n_per_bucket: dict[int, int] = {}
+        for f in m.files:
+            n_per_bucket[f.bucket] = n_per_bucket.get(f.bucket, 0) + 1
+        mor = m.write_mode == "mor"
+        cand = {
+            f.bucket for f in m.files
+            if (f.min_seq is None or f.min_seq < min_seq)
+            and not (mor and n_per_bucket[f.bucket] > 1)
+        }
         if not cand:
             return {"expired": 0, "version": m.version}
         victims = {
@@ -491,6 +567,7 @@ class LakeTable:
             committed_batches=batches,
             lease=dict(m.lease),
             batch_watermarks=watermarks,
+            write_mode=m.write_mode,
         )
         self.store.commit(new, expected_parent=m.version)
         return {"expired_buckets": len(victims), "version": m.version + 1}
@@ -558,18 +635,25 @@ class LakeTable:
 
     def _write_buckets(
         self, df: DataFrame, keys: list[str], n_buckets: int,
-        version: int, n_affected: int,
+        version: int, n_affected: int, sort_cols: list[str] | None = None,
     ) -> list[FileEntry]:
         """Write df partitioned by bucket under data/v{N}/; return stats entries.
 
         repartition on _bucket co-locates each bucket in one task → one file per
         bucket (plus the partitionBy dir layout for cheap bucket-set reads).
+        `sort_cols` clusters rows within each bucket file (tight row-group
+        stats for parquet-pushdown skipping) — a task-local sort, no shuffle.
         """
         rel_dir = os.path.join("data", f"v{version}-{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.path, rel_dir)
-        (
+        bucketed = (
             df.withColumn("_bucket", bucket_expr(keys, n_buckets))
             .repartition(max(n_affected, 1), "_bucket")
+        )
+        if sort_cols:
+            bucketed = bucketed.sortWithinPartitions("_bucket", *sort_cols)
+        (
+            bucketed
             .write.mode("overwrite")
             .partitionBy("_bucket")
             .parquet(out_dir)
@@ -634,5 +718,6 @@ class LakeTable:
             committed_batches=batches,
             lease=lease,
             batch_watermarks=watermarks,
+            write_mode=parent.write_mode,
         )
         self.store.commit(new, expected_parent=parent.version)

@@ -22,9 +22,10 @@ from change_data_capturer_ms_spark.streaming.pipeline import CDCPipeline, prepar
 CFG = EngineConfig(n_buckets=8)
 
 
-def _pipe(spark, tmpdir_path, sub=""):
+def _pipe(spark, tmpdir_path, sub="", write_mode="cow"):
     base = os.path.join(tmpdir_path, sub) if sub else tmpdir_path
-    table = LakeTable(spark, f"{base}/table", key_cols=["repo", "path"], n_buckets=8)
+    table = LakeTable(spark, f"{base}/table", key_cols=["repo", "path"], n_buckets=8,
+                      write_mode=write_mode)
     return CDCPipeline(spark, f"{base}/log", table, f"{base}/ckpt", cfg=CFG,
                        use_pandas_udfs=False), f"{base}/log"
 
@@ -320,6 +321,40 @@ class TestMaintenance:
         if res["compacted_buckets"]:
             assert res["files_after"] <= res["files_before"]
 
+    def test_compact_sorted_clusters_files(self, spark, tmpdir_path):
+        """compact(sort_cols=...) = Iceberg's SORT rewrite: same state, but each
+        rewritten bucket file is key-clustered so parquet row-group stats are
+        tight enough for native pushdown skipping. Runs on a merge-on-read
+        table — the mode that actually accumulates multiple files per bucket
+        (steady-state cow MERGE leaves one file per bucket by construction)."""
+        import os as _os
+
+        import pyarrow.parquet as pq
+
+        pipe, _ = _pipe(spark, tmpdir_path, write_mode="mor")
+        pipe.apply_batch(gen_changelog(spark, 600, seed=13), batch_id=0)
+        pipe.apply_batch(
+            gen_changelog(spark, 300, seed=13, start_seq=600, evolution_point=0),
+            batch_id=1,
+        )
+        before = _state(pipe.table)
+        res = pipe.table.compact(sort_cols=["repo", "path"])
+        assert res["compacted_buckets"] > 0
+        assert _state(pipe.table).equals(before)
+        # every rewritten file holds rows sorted by (repo, path)
+        ver = res["version"]
+        rewritten = [
+            f for f in pipe.table.manifest().files
+            if f.path.startswith(f"data/v{ver}-")
+        ]
+        assert rewritten, "sorted compaction must have rewritten files"
+        for fe in rewritten:
+            t = pq.read_table(_os.path.join(pipe.table.path, fe.path),
+                              columns=["repo", "path"])
+            pairs = list(zip(t.column("repo").to_pylist(),
+                             t.column("path").to_pylist()))
+            assert pairs == sorted(pairs)
+
     def test_expire_snapshots_keeps_current_readable(self, spark, tmpdir_path):
         pipe, log_dir = _pipe(spark, tmpdir_path)
         for i in range(3):
@@ -447,6 +482,80 @@ class TestMaintenance:
         v_empty = pipe.table.manifest().version
         assert pipe.table.lease()["metrics"]["max_seq"] == 0
         assert pipe.table.read_incremental(since_version=v_empty).count() == 0
+
+
+class TestMergeOnRead:
+    """write_mode='mor' (Iceberg v2 semantics): MERGE appends per-bucket delta
+    files, reads resolve per-key LWW, compact() folds deltas. The invariant
+    that matters: a mor table and a cow table fed the same batches are
+    indistinguishable through every read API."""
+
+    def test_mor_converges_to_cow_state(self, spark, tmpdir_path):
+        full = gen_changelog(spark, 3000, seed=11, n_repos=12, paths_per_repo=6)
+        halves = [full.filter(F.col("seq") >= 1000), full.filter(F.col("seq") < 1000)]
+
+        cow, _ = _pipe(spark, tmpdir_path, "cow")
+        mor, _ = _pipe(spark, tmpdir_path, "mor", write_mode="mor")
+        for i, h in enumerate(halves):  # out-of-order halves: tombstone stress
+            cow.apply_batch(h, batch_id=i)
+            mor.apply_batch(h, batch_id=i)
+
+        assert _state(mor.table).equals(_state(cow.table))
+        # mor really appended: some bucket holds >1 file
+        per_bucket = {}
+        for f in mor.table.manifest().files:
+            per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+        assert max(per_bucket.values()) > 1
+        # tombstones visible identically (delete suppression across files)
+        n_tomb = mor.table.read(include_deleted=True).filter(
+            F.col("_last_op") == "delete").count()
+        assert n_tomb == cow.table.read(include_deleted=True).filter(
+            F.col("_last_op") == "delete").count()
+        assert n_tomb > 0
+
+        # compaction folds every bucket to one file; state is unchanged
+        before = _state(mor.table)
+        res = mor.table.compact()
+        assert res["compacted_buckets"] > 0
+        after_files = {}
+        for f in mor.table.manifest().files:
+            after_files[f.bucket] = after_files.get(f.bucket, 0) + 1
+        assert max(after_files.values()) == 1
+        assert _state(mor.table).equals(before)
+
+    def test_mor_expire_tombstones_waits_for_compaction(self, spark, tmpdir_path):
+        """A delta tombstone suppresses an older base-file row; expiring it
+        before the bucket is compacted would resurrect that row. The guard:
+        expire only touches single-file buckets on a mor table."""
+        pipe, _ = _pipe(spark, tmpdir_path, write_mode="mor")
+        full = gen_changelog(spark, 2000, seed=12, n_repos=6, paths_per_repo=4)
+        pipe.apply_batch(full.filter(F.col("seq") < 1000), batch_id=0)
+        pipe.apply_batch(full.filter(F.col("seq") >= 1000), batch_id=1)
+        live_before = _state(pipe.table)
+        n_tomb = pipe.table.read(include_deleted=True).filter(
+            F.col("_last_op") == "delete").count()
+        assert n_tomb > 0
+
+        pipe.table.expire_tombstones(min_seq=10_000)
+        # multi-file buckets were skipped: nothing resurrected, live state intact
+        assert _state(pipe.table).equals(live_before)
+
+        pipe.table.compact()
+        pipe.table.expire_tombstones(min_seq=10_000)
+        assert pipe.table.read(include_deleted=True).filter(
+            F.col("_last_op") == "delete").count() == 0
+        assert _state(pipe.table).equals(live_before)
+
+    def test_mor_double_apply_is_noop(self, spark, tmpdir_path):
+        pipe, _ = _pipe(spark, tmpdir_path, write_mode="mor")
+        batch = gen_changelog(spark, 500, seed=9)
+        pipe.apply_batch(batch, batch_id=0)
+        files1 = [f.path for f in pipe.table.manifest().files]
+        state1 = _state(pipe.table)
+        res = pipe.table.merge(batch, batch_id=0)  # re-delivery
+        assert res["skipped"] is True
+        assert [f.path for f in pipe.table.manifest().files] == files1
+        assert _state(pipe.table).equals(state1)
 
 
 class TestErrors:
