@@ -38,12 +38,10 @@ from change_data_capturer_ms_spark.operators import (
     exact_dedup,
     extract_media_features,
     frame_sample,
-    lang_id_builtin,
     lsh_topk,
     lww_dedupe,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
-    quality_scores,
     synth_media,
 )
 from change_data_capturer_ms_spark.operators.similarity import embedding_near_dup_pairs
@@ -51,8 +49,12 @@ from change_data_capturer_ms_spark.operators.sampling import (
     hash_split,
     hash_split_case_sql,
 )
-from change_data_capturer_ms_spark.operators.delta import change_deltas
-from change_data_capturer_ms_spark.operators.text import tfidf_top_terms
+from change_data_capturer_ms_spark.operators.delta import (
+    change_deltas,
+    scd2_history,
+    snapshot_diff,
+)
+from change_data_capturer_ms_spark.operators.text import text_profile, tfidf_top_terms
 from change_data_capturer_ms_spark.operators.reshape import melt, pivot_counts
 
 _VER = "r2a"  # bump to invalidate cached temp tables when semantics change
@@ -650,18 +652,19 @@ def q_pivot_unpivot(spark, sf_dir):
     return melt(wide, ["lang"], vals, var_name="source", value_name="n_docs")
 
 
-def q_embed_knn_brute(spark, sf_dir):
+def q_embed_knn_methods(spark, sf_dir):
+    """Exact brute-force kNN (broadcast-NLJ baseline) UNION multi-probe
+    sign-bit LSH ANN (the query's bucket plus hamming-1 neighbors — the
+    sublinear scale path), tagged by method. r2 fold of embed_knn_brute +
+    embed_lsh_ann (50-row driver budget)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)
-    return brute_force_topk(emb, queries, k=5)
-
-
-def q_embed_lsh_ann(spark, sf_dir):
-    """Multi-probe sign-bit LSH ANN: the query's bucket plus hamming-1
-    neighbors — the recall-lift path at unchanged plan shape."""
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 3)
-    return lsh_topk(emb, queries, k=5, bits=4, multiprobe=True)
+    common = ["query_id", "neighbor_id", "cosine", "rank"]
+    brute = brute_force_topk(emb, queries, k=5).select(
+        F.lit("brute").alias("method"), *common)
+    lsh = lsh_topk(emb, queries, k=5, bits=4, multiprobe=True).select(
+        F.lit("lsh").alias("method"), *common)
+    return brute.unionByName(lsh)
 
 
 def q_embed_ivf_ann(spark, sf_dir):
@@ -680,12 +683,44 @@ def q_embed_near_dup(spark, sf_dir):
     return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3, bits=4)
 
 
-def q_text_quality(spark, sf_dir):
-    return quality_scores(_t(spark, sf_dir, "documents"))
+def q_text_quality_langid(spark, sf_dir):
+    """Quality features + per-language stopword scores + lang guess in ONE
+    projection (operators/text.py text_profile — no join of two per-doc
+    projections). r2 fold of text_quality + text_langid."""
+    return text_profile(_t(spark, sf_dir, "documents"))
 
 
-def q_text_langid(spark, sf_dir):
-    return lang_id_builtin(_t(spark, sf_dir, "documents"))
+def q_scd2_history(spark, sf_dir):
+    """SCD Type-2 history view (operators/delta.py scd2_history): per-key
+    version numbers + validity intervals + is_current, one window shuffle.
+    Timestamps exported as epoch seconds (driver-gate convention)."""
+    e = _t(spark, sf_dir, "events")
+    h = scd2_history(e, keys=["user_id"],
+                     order_cols=[F.col("ts"), F.col("event_id")])
+    def epoch_s(c):  # NTZ → epoch seconds, floor (matches epoch_us // 1e6)
+        return F.floor(F.col(c).cast("timestamp").cast("double")).cast("long")
+
+    return h.select(
+        "user_id", "event_id", "version_num",
+        epoch_s("ts").alias("valid_from_s"),
+        epoch_s("valid_to").alias("valid_to_s"),
+        "is_current",
+    )
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Version-to-version change feed (operators/delta.py snapshot_diff):
+    LWW state at seq 500 vs seq 900 diffed in ONE groupBy via conditional
+    max_by — no self-join, no second shuffle."""
+    e = _t(spark, sf_dir, "events")
+    d = snapshot_diff(e, keys=["user_id"], seq_col="event_id",
+                      value_cols=["event_type", "value"],
+                      seq_old=500, seq_new=900)
+    return d.select(
+        "user_id", "change", "old_event_type", "new_event_type",
+        F.round("old_value", 2).alias("old_value_r"),
+        F.round("new_value", 2).alias("new_value_r"),
+    )
 
 
 def q_doc_fingerprint(spark, sf_dir):
@@ -780,14 +815,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "train_split": q_train_split,
         "change_delta_lag": q_change_delta_lag,
+        "scd2_history": q_scd2_history,
+        "snapshot_diff": q_snapshot_diff,
         "tfidf_top_terms": q_tfidf_top_terms,
         "pivot_unpivot": q_pivot_unpivot,
-        "embed_knn_brute": q_embed_knn_brute,
-        "embed_lsh_ann": q_embed_lsh_ann,
+        "embed_knn_methods": q_embed_knn_methods,
         "embed_ivf_ann": q_embed_ivf_ann,
         "embed_near_dup": q_embed_near_dup,
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
+        "text_quality_langid": q_text_quality_langid,
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_meta": q_multimodal_meta,
         "frame_sample": q_frame_sample,
@@ -1151,31 +1186,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, source, COUNT(*)::BIGINT AS n_docs "
             "FROM documents GROUP BY lang, source"
         ),
-        "embed_knn_brute": (
-            "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "
+        "embed_knn_methods": (
+            # brute-force exact baseline UNION multi-probe LSH (q-bucket +
+            # hamming-1 neighbors), method-tagged — mirrors the Spark fold
+            "WITH q0 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "
             "  FROM embeddings WHERE vec_id < 3), "
             "c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings), "
-            "scored AS (SELECT query_id, neighbor_id, "
-            "  list_cosine_similarity(qv, cv) AS cos_raw FROM c, q "
-            "  WHERE neighbor_id <> query_id) "
-            "SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine, rank FROM ("
-            "  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
-            "    ORDER BY cos_raw DESC, neighbor_id) AS rank FROM scored) WHERE rank <= 5"
-        ),
-        "embed_lsh_ann": (
-            # multi-probe: the query's bucket plus every hamming-1 neighbor
-            f"WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v, ({bucket_sql})::INT AS bucket "
+            "bscored AS (SELECT query_id, neighbor_id, "
+            "  list_cosine_similarity(qv, cv) AS cos_raw FROM c, q0 "
+            "  WHERE neighbor_id <> query_id), "
+            f"b AS (SELECT vec_id, embedding::DOUBLE[] AS v, ({bucket_sql})::INT AS bucket "
             "  FROM embeddings), "
             "q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM b WHERE vec_id < 3), "
             "probes AS (SELECT query_id, qv, "
             "  unnest([qb, xor(qb, 1), xor(qb, 2), xor(qb, 4), xor(qb, 8)])::INT AS bucket "
             "  FROM q), "
-            "scored AS (SELECT query_id, b.vec_id AS neighbor_id, b.bucket, "
+            "lscored AS (SELECT query_id, b.vec_id AS neighbor_id, "
             "  list_cosine_similarity(qv, b.v) AS cos_raw "
             "  FROM b JOIN probes USING (bucket) WHERE b.vec_id <> query_id) "
-            "SELECT query_id, neighbor_id, bucket, ROUND(cos_raw, 6) AS cosine, rank FROM ("
-            "  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
-            "    ORDER BY cos_raw DESC, neighbor_id) AS rank FROM scored) WHERE rank <= 5"
+            "SELECT 'brute' AS method, query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine, rank "
+            "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+            "  ORDER BY cos_raw DESC, neighbor_id) AS rank FROM bscored) WHERE rank <= 5 "
+            "UNION ALL "
+            "SELECT 'lsh' AS method, query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine, rank "
+            "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+            "  ORDER BY cos_raw DESC, neighbor_id) AS rank FROM lscored) WHERE rank <= 5"
         ),
         "embed_ivf_ann": (
             # deterministic IVF: centroids = the 8 corpus vectors with smallest
@@ -1211,7 +1246,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id "
             "WHERE ROUND(list_cosine_similarity(a.v, bb.v), 6) >= 0.3"
         ),
-        "text_quality": (
+        "text_quality_langid": (
             "SELECT doc_id, LENGTH(text)::INT AS n_chars_m, "
             "len(regexp_split_to_array(trim(text), '\\s+'))::INT AS n_tokens, "
             "len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))::INT AS n_subtokens, "
@@ -1220,12 +1255,31 @@ def oracle_sql() -> dict[str, str]:
             f"  x -> list_contains([{en}], x))) "
             "  / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS stopword_ratio, "
             "ROUND(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) "
-            "  / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS distinct_ratio "
-            "FROM documents"
-        ),
-        "text_langid": (
-            "SELECT doc_id, " + ", ".join(stop_scores) + ", "
+            "  / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS distinct_ratio, "
+            + ", ".join(stop_scores) + ", "
             f"({fold_lang}) AS lang_guess FROM documents"
+        ),
+        "scd2_history": (
+            "SELECT user_id, event_id, "
+            "ROW_NUMBER() OVER w AS version_num, "
+            "epoch_us(ts) // 1000000 AS valid_from_s, "
+            "epoch_us(LEAD(ts) OVER w) // 1000000 AS valid_to_s, "
+            "(LEAD(ts) OVER w IS NULL) AS is_current "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "snapshot_diff": (
+            # LWW state at seq<=500 vs seq<=900, single-pass conditional arg_max
+            "WITH agg AS (SELECT user_id, "
+            "  arg_max(struct_pack(et := event_type, v := value), event_id) "
+            "    FILTER (WHERE event_id <= 500) AS img_old, "
+            "  arg_max(struct_pack(et := event_type, v := value), event_id) AS img_new "
+            "  FROM events WHERE event_id <= 900 GROUP BY user_id) "
+            "SELECT user_id, "
+            "CASE WHEN img_old IS NULL THEN 'added' "
+            "  WHEN img_old <> img_new THEN 'changed' END AS change, "
+            "img_old.et AS old_event_type, img_new.et AS new_event_type, "
+            "ROUND(img_old.v, 2) AS old_value_r, ROUND(img_new.v, 2) AS new_value_r "
+            "FROM agg WHERE img_old IS NULL OR img_old <> img_new"
         ),
         "doc_fingerprint": (
             "WITH " + _SHINGLES_CTE.format(n=4, nm1=3) + " "

@@ -45,7 +45,7 @@ HEADLINE = [
     "agg_pricing_summary",
     "window_tumbling",
     "dedup_minhash_lsh",
-    "embed_knn_brute",
+    "embed_knn_methods",
     "multimodal_meta",
 ]
 
@@ -395,9 +395,33 @@ def consolidate(n_events: int = 16_000_000) -> None:
                       "n_samples": {c: len(r["all_wall_sec"]) for c, r in per.items()}}))
 
 
+def headline_probe(n_samples: int = 2) -> None:
+    """Accumulate headline-shape apply samples (2M events @ local[CPUS]) into
+    BENCH/probes.jsonl — the same sample pool `main()` folds into the driver's
+    recorded headline, so quiet-window capability survives a stormy driver slot."""
+    sf = _sf_tag(SF_DIR)
+    n_events = max(200_000, int(20_000_000 * sf))
+    spark = _session(CPUS, "cdc-headline-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    bench_apply(spark, max(100_000, n_events // 8), f"/tmp/cdc_hprobe_warm", n_batches=2)
+    n_files = gen_log(spark, n_events, "/tmp/cdc_hprobe_log", 1, 16)
+    runs = [apply_once(spark, n_events, "/tmp/cdc_hprobe_log", n_files,
+                       f"/tmp/cdc_hprobe_{i}", n_batches=4)
+            for i in range(n_samples)]
+    spark.stop()
+    stats = min(runs, key=lambda r: r["wall_sec"])
+    stats["cores"] = CPUS
+    stats["all_wall_sec"] = [r["wall_sec"] for r in runs]
+    _record_probe(stats, n_events)
+    print(json.dumps(stats))
+
+
 def main() -> None:
     if "--consolidate" in sys.argv:
         consolidate()
+        return
+    if "--headline-probe" in sys.argv:
+        headline_probe()
         return
     if "--apply-probe" in sys.argv:
         i = sys.argv.index("--apply-probe")

@@ -239,6 +239,57 @@ class LakeTable:
         df = self.read(buckets=buckets, include_deleted=include_deleted)
         return df.filter(F.col(SEQ_META_COL) > watermark)
 
+    def snapshot_diff(self, old_version: int,
+                      new_version: int | None = None) -> DataFrame:
+        """Version-to-version change feed: one row per key whose LIVE state
+        differs between two committed snapshots, classified
+        added / changed / removed, with `old_` / `new_` data columns.
+
+        Scale shape, in order of leverage:
+        - **Manifest-level bucket pruning**: copy-on-write rewrites a bucket
+          under a fresh `data/v{N}-…` dir and merge-on-read appends delta
+          files, so a bucket whose file list is IDENTICAL in both manifests is
+          byte-identical — skipped without reading a single row. A diff of two
+          adjacent versions scans only the buckets the intervening merges
+          touched, O(changed), not O(table).
+        - **Single shuffle**: both snapshots union with a side tag and diff in
+          ONE groupBy via conditional max_by (operators/delta.py
+          snapshot_diff) — not two reads + a full outer join (three shuffles).
+        - Tombstones carry the delete signal (`_last_op`): a live row never
+          vanishes without one (expire_tombstones only drops rows already
+          dead), so carry-forward semantics over the side tag are exact even
+          across tombstone expiry.
+
+        Additive schema evolution: columns added after `old_version` read as
+        NULL on the old side (`unionByName(allowMissingColumns=True)`), so a
+        backfill of a new column surfaces as `changed`.
+        """
+        from change_data_capturer_ms_spark.operators.delta import snapshot_diff
+
+        m_old = self.manifest(old_version)
+        m_new = self.manifest(new_version)
+
+        def by_bucket(m: Manifest) -> dict[int, frozenset]:
+            out: dict[int, set] = {}
+            for f in m.files:
+                out.setdefault(f.bucket, set()).add(f.path)
+            return {b: frozenset(s) for b, s in out.items()}
+
+        ob, nb = by_bucket(m_old), by_bucket(m_new)
+        changed = {b for b in set(ob) | set(nb) if ob.get(b) != nb.get(b)}
+        old = self.read(version=old_version, buckets=changed, include_deleted=True)
+        new = self.read(version=new_version, buckets=changed, include_deleted=True)
+        keys = m_new.key_cols
+        meta = {SEQ_META_COL, OP_META_COL, *keys}
+        value_cols = [f.name for f in m_new.schema.fields if f.name not in meta]
+        both = (
+            old.withColumn("_side", F.lit(0))
+            .unionByName(new.withColumn("_side", F.lit(1)),
+                         allowMissingColumns=True)
+        )
+        return snapshot_diff(both, keys, "_side", value_cols,
+                             seq_old=0, seq_new=1, op_col=OP_META_COL)
+
     def committed_batches(self) -> set[str]:
         """EXPLICIT ledger entries only — after watermark pruning this no longer
         lists every batch ever applied. Use `is_batch_committed` for the

@@ -60,26 +60,64 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def _lang_scores(words: Column) -> list[tuple[str, Column]]:
+    """Per-language stopword hit counts over a tokenized column."""
+    scores = []
+    for lang, stops in LANG_STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in stops])
+        scores.append((lang, F.size(F.filter(words, lambda w: F.array_contains(arr, w)))))
+    return scores
+
+
+def _lang_argmax(scores: list[tuple[str, Column]]) -> Column:
+    """First strictly-greater language in declared order wins ties; 'und' if 0."""
+    expr_lang: Column = F.lit("und")
+    expr_score: Column = F.lit(0)
+    for lang, s in scores:
+        take = s > expr_score
+        expr_lang = F.when(take, F.lit(lang)).otherwise(expr_lang)
+        expr_score = F.when(take, s).otherwise(expr_score)
+    return expr_lang
+
+
 def lang_id_builtin(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic language ID: argmax over per-language stopword hit counts, with a
     deterministic tiebreak (language order); 'und' when nothing matches. Pure
     expressions — and exactly re-expressible in oracle SQL."""
     words = F.split(F.trim(F.col(text_col)), r"\s+")
-    scores = []
-    for lang, stops in LANG_STOPWORDS.items():
-        arr = F.array(*[F.lit(w) for w in stops])
-        scores.append((lang, F.size(F.filter(words, lambda w: F.array_contains(arr, w)))))
+    scores = _lang_scores(words)
     out = df.select(F.col(id_col), *[s.alias(f"score_{lang}") for lang, s in scores])
     # strict > in declared order ⇒ first-listed language wins ties (deterministic)
-    expr_lang = F.lit("und")
-    expr_score = F.lit(0)
-    for lang, _ in scores:
-        c = F.col(f"score_{lang}")
-        take = c > expr_score
-        expr_lang = F.when(take, F.lit(lang)).otherwise(expr_lang)
-        expr_score = F.when(take, c).otherwise(expr_score)
+    expr_lang = _lang_argmax([(lang, F.col(f"score_{lang}")) for lang in LANG_STOPWORDS])
     return out.withColumn("lang_guess", expr_lang).select(
         id_col, *[f"score_{lang}" for lang in LANG_STOPWORDS], "lang_guess"
+    )
+
+
+def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """quality_scores ∪ language-ID in ONE projection (no join).
+
+    At corpus scale these features are always consumed together (filter
+    training data by quality AND language in one pass); joining two separate
+    per-doc projections of the same table would shuffle on the doc id for
+    nothing. Whole-stage codegen CSE shares the tokenization across all the
+    derived columns (projection CSE applies — unlike aggregates, CLAUDE.md).
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_tok = F.size(words)
+    stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop, w)))
+    scores = _lang_scores(words)
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars_m"),
+        n_tok.alias("n_tokens"),
+        token_count_bpe_ish(text_col).alias("n_subtokens"),
+        F.round(F.length(text_col) / n_tok, 4).alias("mean_tok_len"),
+        F.round(n_stop / n_tok, 4).alias("stopword_ratio"),
+        F.round(F.size(F.array_distinct(words)) / n_tok, 4).alias("distinct_ratio"),
+        *[s.alias(f"score_{lang}") for lang, s in scores],
+        _lang_argmax(scores).alias("lang_guess"),
     )
 
 

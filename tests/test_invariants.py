@@ -295,6 +295,62 @@ class TestLakeReads:
         assert got_keys.exceptAll(expect.select("repo", "path")).count() == 0
 
 
+    def test_snapshot_diff_matches_log_level_diff(self, spark, tmpdir_path):
+        """Lake version-to-version diff converges with the operator-level diff
+        of the raw log at the same seq boundary (two independent paths to the
+        same change feed)."""
+        from change_data_capturer_ms_spark.operators.delta import snapshot_diff
+
+        pipe, _ = _pipe(spark, tmpdir_path)
+        kw = dict(seed=16, n_repos=10, paths_per_repo=5)
+        pipe.apply_batch(gen_changelog(spark, 1000, **kw), batch_id=0)
+        v1 = pipe.table.manifest().version
+        pipe.apply_batch(gen_changelog(spark, 400, start_seq=1000, **kw), batch_id=1)
+
+        lake = {(r["repo"], r["path"]): r["change"]
+                for r in pipe.table.snapshot_diff(v1).collect()}
+        full_log = gen_changelog(spark, 1400, **kw)
+        log = {(r["repo"], r["path"]): r["change"]
+               for r in snapshot_diff(
+                   full_log, ["repo", "path"], "seq",
+                   ["commit", "lang", "content"], seq_old=999, seq_new=1399,
+                   op_col="op").collect()}
+        assert lake == log and len(lake) > 0
+
+    def test_snapshot_diff_prunes_untouched_buckets(self, spark, tmpdir_path):
+        """A bucket whose file list is identical in both manifests is never
+        scanned: a one-key second batch ⇒ the diff reads only that key's
+        bucket (old + new files), not the whole table."""
+        pipe, _ = _pipe(spark, tmpdir_path)
+        base = gen_changelog(spark, 1000, seed=17, n_repos=10, paths_per_repo=5)
+        pipe.apply_batch(base, batch_id=0)
+        v1 = pipe.table.manifest().version
+        one = gen_changelog(spark, 1200, seed=17, n_repos=10, paths_per_repo=5)
+        target = one.filter(F.col("seq") >= 1000) \
+                    .filter(F.col("op") != "delete").limit(1).collect()[0]
+        pipe.apply_batch(
+            one.filter((F.col("repo") == target["repo"])
+                       & (F.col("path") == target["path"])
+                       & (F.col("seq") >= 1000)),
+            batch_id=1,
+        )
+        diff = pipe.table.snapshot_diff(v1)
+        rows = diff.collect()
+        assert {(r["repo"], r["path"]) for r in rows} <= \
+            {(target["repo"], target["path"])}
+        # physical scan covers at most the touched bucket in both versions
+        m1, m2 = pipe.table.manifest(v1), pipe.table.manifest()
+        from change_data_capturer_ms_spark.lake.table import bucket_expr
+        b = pipe.table.read().withColumn(
+            "_b", bucket_expr(["repo", "path"], m2.n_buckets)) \
+            .filter((F.col("repo") == target["repo"])
+                    & (F.col("path") == target["path"])) \
+            .select("_b").first()["_b"]
+        allowed = {f.path for f in m1.files + m2.files if f.bucket == b}
+        scanned = {p.split(pipe.table.path + "/", 1)[1]
+                   for p in diff.inputFiles()}
+        assert scanned <= allowed and len(scanned) > 0
+
 class TestMaintenance:
     def test_compact_preserves_state_and_lease(self, spark, tmpdir_path):
         pipe, log_dir = _pipe(spark, tmpdir_path)

@@ -188,3 +188,89 @@ def test_tfidf_manual_example(spark):
     # deterministic ordering: banana (df 3) first
     ordered = [r["term"] for r in tfidf_top_terms(docs, top_k=10).collect()]
     assert ordered[0] == "banana"
+
+
+# -- SCD2 history ------------------------------------------------------------
+
+def test_scd2_history_versions_and_currency(spark):
+    from change_data_capturer_ms_spark.operators import scd2_history
+
+    rows = [Row(k="a", seq=1, v="x"), Row(k="a", seq=3, v="y"),
+            Row(k="a", seq=7, v="y"), Row(k="b", seq=2, v="z")]
+    out = scd2_history(spark.createDataFrame(rows), ["k"], [F.col("seq")])
+    got = {(r["k"], r["seq"]): (r["version_num"], r["valid_to"], r["is_current"])
+           for r in out.collect()}
+    assert got == {
+        ("a", 1): (1, 3, False),
+        ("a", 3): (2, 7, False),
+        ("a", 7): (3, None, True),
+        ("b", 2): (1, None, True),
+    }
+
+
+def test_scd2_history_single_shuffle(spark):
+    from change_data_capturer_ms_spark.operators import scd2_history
+
+    df = spark.range(100).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("seq"))
+    plan = _plan(scd2_history(df, ["k"], [F.col("seq")]))
+    assert plan.count("Exchange") == 1  # one window shuffle, no self-join
+
+
+# -- snapshot diff -----------------------------------------------------------
+
+def _diff_rows(spark, seq_old, seq_new):
+    from change_data_capturer_ms_spark.operators import snapshot_diff
+
+    rows = [
+        Row(k="chg", seq=1, op="upsert", v="old"),
+        Row(k="chg", seq=10, op="upsert", v="new"),
+        Row(k="add", seq=8, op="upsert", v="born"),
+        Row(k="rm", seq=2, op="upsert", v="dead"),
+        Row(k="rm", seq=9, op="delete", v=None),
+        Row(k="same", seq=3, op="upsert", v="still"),
+        Row(k="reborn", seq=1, op="delete", v=None),
+        Row(k="reborn", seq=9, op="upsert", v="back"),
+        Row(k="future", seq=20, op="upsert", v="later"),
+    ]
+    return snapshot_diff(spark.createDataFrame(rows), ["k"], "seq", ["v"],
+                         seq_old, seq_new, op_col="op")
+
+
+def test_snapshot_diff_classification(spark):
+    out = _diff_rows(spark, seq_old=5, seq_new=15)
+    got = {r["k"]: (r["change"], r["old_v"], r["new_v"]) for r in out.collect()}
+    # unchanged keys and keys past seq_new never appear
+    assert got == {
+        "chg": ("changed", "old", "new"),
+        "add": ("added", None, "born"),
+        "rm": ("removed", "dead", None),
+        "reborn": ("added", None, "back"),
+    }
+
+
+def test_snapshot_diff_single_shuffle(spark):
+    plan = _plan(_diff_rows(spark, 5, 15))
+    # ONE groupBy with conditional max_by — not two states + a join
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+# -- text profile fold -------------------------------------------------------
+
+def test_text_profile_matches_separate_ops(spark):
+    from change_data_capturer_ms_spark.operators import (
+        lang_id_builtin, quality_scores, text_profile)
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="the quick brown fox and the lazy dog"),
+        Row(doc_id=2, text="el rapido zorro y el perro de la casa"),
+        Row(doc_id=3, text="zzz qqq"),
+    ])
+    prof = {r["doc_id"]: r.asDict() for r in text_profile(docs).collect()}
+    qual = {r["doc_id"]: r.asDict() for r in quality_scores(docs).collect()}
+    lang = {r["doc_id"]: r.asDict() for r in lang_id_builtin(docs).collect()}
+    for i in (1, 2, 3):
+        merged = {**qual[i], **lang[i]}
+        assert prof[i] == merged
+    assert "Exchange" not in _plan(text_profile(docs))
