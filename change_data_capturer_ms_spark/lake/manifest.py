@@ -46,6 +46,12 @@ class FileEntry:
     bytes: int
     min_seq: int | None = None
     max_seq: int | None = None
+    # zone map: {col: [min, max]} over the file's non-null values, recorded at
+    # write time from the parquet footer (no data read). Powers manifest-level
+    # file skipping (read_where/lookup) — at 100 TB the win is not opening
+    # files at all, before any scan task is scheduled. Absent (None) for
+    # pre-upgrade manifests or columns without usable stats ⇒ never pruned.
+    col_stats: dict | None = None
 
     @classmethod
     def from_dict(cls, d: dict) -> "FileEntry":

@@ -56,6 +56,37 @@ SEQ_META_COL = "_last_seq"
 OP_META_COL = "_last_op"
 
 
+def _file_may_match(f: FileEntry, col: str, op: str, val) -> bool:
+    """Zone-map test: can `f` contain a row matching `col op val`?
+    Missing/incomparable stats ⇒ True (never prune blind). String bounds may
+    be truncated (lower bound = prefix, upper bound = incremented prefix) —
+    both remain valid bounds, so containment tests stay conservative."""
+    if col == SEQ_META_COL:
+        stats = None if f.min_seq is None else [f.min_seq, f.max_seq]
+    else:
+        stats = (f.col_stats or {}).get(col)
+    if not stats:
+        return True
+    lo, hi = stats
+    try:
+        if op == "=":
+            return lo <= val <= hi
+        if op == "<":
+            return lo < val
+        if op == "<=":
+            return lo <= val
+        if op == ">":
+            return hi > val
+        if op == ">=":
+            return hi >= val
+        if op == "between":
+            vlo, vhi = val
+            return not (vhi < lo or vlo > hi)
+    except TypeError:
+        return True  # type mismatch between stat and literal: no pruning
+    raise ValueError(f"unsupported zone-map op: {op!r}")
+
+
 def bucket_expr(key_cols: list[str], n_buckets: int):
     """Deterministic bucket id — pure function of the key (never random), so dedupe
     and co-location survive any repartitioning (SURVEY.md §7.3 salting note)."""
@@ -155,6 +186,11 @@ class LakeTable:
         """
         m = self.manifest(version)
         files = m.files if buckets is None else [f for f in m.files if f.bucket in buckets]
+        return self._frame(m, files, include_deleted)
+
+    def _frame(self, m: Manifest, files: list[FileEntry],
+               include_deleted: bool) -> DataFrame:
+        """Build the snapshot frame for an already-pruned file subset."""
         schema = m.schema
         if not files:
             # JVM-side empty relation: createDataFrame([], schema) builds a
@@ -213,9 +249,59 @@ class LakeTable:
                 *[F.lit(key_values[k]).alias(k) for k in m.key_cols]
             ).select(bucket_expr(m.key_cols, m.n_buckets).alias("b")).first()
             bucket = int(row["b"])
-        df = self.read(version=version, buckets={bucket})
-        for k in m.key_cols:
-            df = df.filter(F.col(k) == F.lit(key_values[k]))
+        # bucket pruning + per-file zone maps: within the key's bucket, a file
+        # (CoW rewrite or MOR delta) whose key-col [min,max] excludes the value
+        # is skipped without being opened
+        return self.read_where(
+            [(k, "=", key_values[k]) for k in m.key_cols],
+            version=version, buckets={bucket},
+        )
+
+    def read_where(
+        self,
+        filters: list[tuple],
+        version: int | None = None,
+        buckets: set[int] | None = None,
+        include_deleted: bool = False,
+    ) -> DataFrame:
+        """Predicate read with MANIFEST-LEVEL file skipping (zone maps).
+
+        `filters`: [(col, op, value)] with op in {"=", "<", "<=", ">", ">=",
+        "between"} ("between" takes a (lo, hi) tuple). Files whose recorded
+        [min, max] cannot contain a match are dropped before Spark ever sees
+        them — at 100 TB that is the difference between scheduling scan tasks
+        over every file and opening only the files that can match; parquet
+        row-group pushdown then prunes WITHIN the surviving files (the same
+        filters are also applied exactly on the frame).
+
+        Merge-on-read safety: non-key columns are mutable across delta files,
+        so pruning on them could drop the delta row that moved a key OUT of
+        the predicate range and resurface its stale base row. Under
+        write_mode='mor' only key columns (immutable row identity) and only
+        equality/range on them participate in pruning; other filters still
+        apply post-scan.
+        """
+        m = self.manifest(version)
+        prunable = set(m.key_cols) if m.write_mode == "mor" else None
+        files = [
+            f for f in m.files
+            if (buckets is None or f.bucket in buckets)
+            and all(
+                _file_may_match(f, c, op, v)
+                for (c, op, v) in filters
+                if prunable is None or c in prunable
+            )
+        ]
+        df = self._frame(m, files, include_deleted)
+        for c, op, v in filters:
+            col = F.col(c)
+            if op == "=":
+                df = df.filter(col == F.lit(v))
+            elif op == "between":
+                df = df.filter((col >= F.lit(v[0])) & (col <= F.lit(v[1])))
+            else:
+                df = df.filter({"<": col < F.lit(v), "<=": col <= F.lit(v),
+                                ">": col > F.lit(v), ">=": col >= F.lit(v)}[op])
         return df
 
     def read_incremental(self, since_version: int,
@@ -712,23 +798,65 @@ class LakeTable:
         import pyarrow.parquet as pq
         from concurrent.futures import ThreadPoolExecutor
 
+        def _trunc_bounds(lo: str, hi: str, width: int = 64):
+            """Iceberg-style string-stat truncation so wide columns (content)
+            don't bloat the JSON manifest: the lower bound truncates (a prefix
+            is ≤ the full value), the upper bound truncates-and-increments the
+            last incrementable codepoint so it stays a valid upper bound."""
+            if len(lo) > width:
+                lo = lo[:width]
+            if len(hi) > width:
+                hi = hi[:width]
+                for i in range(len(hi) - 1, -1, -1):
+                    if ord(hi[i]) < 0x10FFFF:
+                        hi = hi[:i] + chr(ord(hi[i]) + 1)
+                        break
+                else:
+                    return None  # cannot form an upper bound — drop the stat
+            return [lo, hi]
+
+        def _col_minmax(md, idx: int):
+            """Footer-only [min, max] across row groups; None when any group
+            lacks stats (conservative: un-stat'd file is never pruned)."""
+            lo = hi = None
+            for g in range(md.num_row_groups):
+                s = md.row_group(g).column(idx).statistics
+                if s is None or not s.has_min_max:
+                    return None
+                mn, mx = s.min, s.max
+                if isinstance(mn, bytes):
+                    try:
+                        mn, mx = mn.decode(), mx.decode()
+                    except UnicodeDecodeError:
+                        return None
+                if not isinstance(mn, (int, float, str, bool)):
+                    return None  # timestamps etc.: not JSON-portable, skip
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
+            if lo is None:
+                return None
+            if isinstance(lo, str):
+                return _trunc_bounds(lo, hi)
+            return [lo, hi]
+
         def _stat(fpath: str) -> FileEntry | None:
             bucket = int(os.path.basename(os.path.dirname(fpath)).split("=", 1)[1])
             md = pq.ParquetFile(fpath).metadata
             if md.num_rows == 0:
                 return None
             min_seq = max_seq = None
-            try:
-                idx = next(
-                    i for i in range(md.num_columns)
-                    if md.row_group(0).column(i).path_in_schema == SEQ_META_COL
-                )
-                stats = [md.row_group(g).column(idx).statistics for g in range(md.num_row_groups)]
-                if all(s is not None for s in stats):
-                    min_seq = min(s.min for s in stats)
-                    max_seq = max(s.max for s in stats)
-            except StopIteration:
-                pass
+            col_stats: dict[str, list] = {}
+            for i in range(md.num_columns):
+                name = md.row_group(0).column(i).path_in_schema if md.num_row_groups else None
+                if name is None or "." in name:  # nested: no zone map
+                    continue
+                mm = _col_minmax(md, i)
+                if mm is None:
+                    continue
+                if name == SEQ_META_COL:
+                    min_seq, max_seq = mm
+                else:
+                    col_stats[name] = mm
             return FileEntry(
                 path=os.path.relpath(fpath, self.path),
                 bucket=bucket,
@@ -736,6 +864,7 @@ class LakeTable:
                 bytes=os.path.getsize(fpath),
                 min_seq=min_seq,
                 max_seq=max_seq,
+                col_stats=col_stats or None,
             )
 
         paths = glob.glob(os.path.join(out_dir, "_bucket=*", "*.parquet"))

@@ -351,6 +351,57 @@ class TestLakeReads:
                    for p in diff.inputFiles()}
         assert scanned <= allowed and len(scanned) > 0
 
+    def test_read_where_zone_map_pruning_is_exact(self, spark, tmpdir_path):
+        """Manifest-level file skipping: a seq-range read after a second batch
+        skips every file whose max_seq predates the range, and the pruned
+        result is exactly the plain filtered read."""
+        pipe, _ = _pipe(spark, tmpdir_path)
+        kw = dict(seed=31, n_repos=20, paths_per_repo=5)
+        pipe.apply_batch(gen_changelog(spark, 2000, **kw), batch_id=0)
+        second = gen_changelog(spark, 100, start_seq=2000, **kw)
+        one_repo = second.select("repo").first()["repo"]
+        pipe.apply_batch(second.filter(F.col("repo") == one_repo), batch_id=1)
+        m = pipe.table.manifest()
+        got = pipe.table.read_where([("_last_seq", ">=", 2000)])
+        want = pipe.table.read().filter(F.col("_last_seq") >= 2000)
+        assert sorted(map(tuple, got.collect())) == \
+            sorted(map(tuple, want.collect()))
+        # files from batch 0's untouched buckets (max_seq < 2000) never open
+        scanned = {p.split(pipe.table.path + "/", 1)[1]
+                   for p in got.inputFiles()}
+        assert scanned == {f.path for f in m.files if f.max_seq >= 2000}
+        assert len(scanned) < len(m.files)
+        # equality on a key column: exact + stats recorded for every file
+        row = pipe.table.read().select("repo").first()
+        a = pipe.table.read_where([("repo", "=", row["repo"])]).count()
+        b = pipe.table.read().filter(F.col("repo") == row["repo"]).count()
+        assert a == b > 0
+        assert all((f.col_stats or {}).get("repo") for f in m.files)
+
+    def test_read_where_mor_never_prunes_mutable_columns(self, spark, tmpdir_path):
+        """Under merge-on-read, zone-pruning a NON-key column could drop the
+        delta file that moved a key out of the predicate range and resurface
+        its stale base row — the engine must only prune on key columns."""
+        from pyspark.sql import Row, types as T
+
+        table = LakeTable(spark, f"{tmpdir_path}/mor_zone/table",
+                          key_cols=["k"], n_buckets=2, write_mode="mor")
+        table.create(T.StructType([
+            T.StructField("k", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]))
+        table.merge(spark.createDataFrame(
+            [Row(k="a", lang="python", seq=1, op="insert"),
+             Row(k="b", lang="python", seq=2, op="insert")]), batch_id=0)
+        table.merge(spark.createDataFrame(
+            [Row(k="a", lang="go", seq=10, op="update")]), batch_id=1)
+        got = {r["k"]: r["lang"]
+               for r in table.read_where([("lang", "=", "python")]).collect()}
+        assert got == {"b": "python"}  # 'a' moved to go: stale row must not leak
+        # key-column pruning still applies under mor
+        assert {r["k"] for r in
+                table.read_where([("k", "=", "a")]).collect()} == {"a"}
+
 class TestMaintenance:
     def test_compact_preserves_state_and_lease(self, spark, tmpdir_path):
         pipe, log_dir = _pipe(spark, tmpdir_path)
