@@ -36,6 +36,7 @@ from change_data_capturer_ms_spark.operators.similarity import (
 from change_data_capturer_ms_spark.operators.text import (
     doc_fingerprint,
     lang_id_builtin,
+    redact_pii,
     text_profile,
     lang_id_pandas,
     quality_scores,
@@ -75,7 +76,7 @@ __all__ = [
     "ivf_topk_det", "lsh_topk", "normalize_embeddings",
     "pq_topk", "quantize_embeddings_int8", "dequantize_embeddings",
     "doc_fingerprint", "lang_id_builtin", "lang_id_pandas", "quality_scores",
-    "text_profile", "tfidf_top_terms", "token_count_bpe_ish", "token_count_ws", "winnow_fingerprints",
+    "redact_pii", "text_profile", "tfidf_top_terms", "token_count_bpe_ish", "token_count_ws", "winnow_fingerprints",
     "extract_media_features", "frame_sample", "synth_media",
     "hash_sample", "hash_split", "stratified_sample_exact",
     "change_deltas", "content_change_audit", "scd2_history", "snapshot_diff",

@@ -239,3 +239,50 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
         .distinct()
     )
     return picked
+
+
+# -- PII redaction ------------------------------------------------------------
+
+# Deliberately simple, auditable patterns (a production deployment swaps in its
+# compliance team's set); keys are the redaction tag and the count column suffix.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d[\d ().-]{7,}\d",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    kinds: tuple[str, ...] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Scrub PII from a corpus before it becomes training data: appends
+    `{text_col}_redacted` (matches replaced with `[PII:<kind>]`) and a
+    `n_<kind>` match count per pattern.
+
+    Scale shape: a single projection of chained `regexp_replace` /
+    `regexp_count` — JVM regex inside whole-stage codegen, no UDF, no
+    shuffle; at 100 TB this runs at scan speed and composes with any
+    downstream filter (e.g. drop documents with n_ssn > 0 entirely).
+
+    Patterns apply in declaration order on the running redacted text; counts
+    are measured on the ORIGINAL text per kind (overlapping kinds may both
+    count the same span — counts are audit metrics, not disjoint partitions).
+    """
+    kinds = tuple(kinds) if kinds is not None else tuple(PII_PATTERNS)
+    unknown = [k for k in kinds if k not in PII_PATTERNS]
+    if unknown:
+        raise ValueError(f"unknown PII kinds: {unknown}; known: {list(PII_PATTERNS)}")
+    out_col = out_col or f"{text_col}_redacted"
+    redacted = F.col(text_col)
+    for k in kinds:
+        redacted = F.regexp_replace(redacted, PII_PATTERNS[k], f"[PII:{k}]")
+    return df.select(
+        "*",
+        redacted.alias(out_col),
+        *[F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS[k])).alias(f"n_{k}")
+          for k in kinds],
+    )

@@ -727,3 +727,31 @@ class TestErrors:
         res = pipe.run_batch(batch_id="manual-replay")
         assert res["skipped"] is False
         assert _state(pipe.table).equals(before)
+
+
+class TestZoneMapPredicate:
+    """Pure-python zone-map containment tests (no Spark)."""
+
+    def _f(self, **kw):
+        from change_data_capturer_ms_spark.lake.manifest import FileEntry
+        return FileEntry(path="p", bucket=0, rows=1, bytes=1, **kw)
+
+    def test_ops(self):
+        from change_data_capturer_ms_spark.lake.table import _file_may_match as m
+        f = self._f(col_stats={"r": ["b", "d"]}, min_seq=10, max_seq=20)
+        assert m(f, "r", "=", "c") and not m(f, "r", "=", "a")
+        assert m(f, "r", "<=", "b") and not m(f, "r", "<", "b")
+        assert m(f, "r", ">=", "d") and not m(f, "r", ">", "d")
+        assert m(f, "r", "between", ("a", "b")) and not m(f, "r", "between", ("e", "f"))
+        assert m(f, "_last_seq", "=", 15) and not m(f, "_last_seq", "=", 9)
+
+    def test_conservative_on_missing_or_mismatched_stats(self):
+        import pytest
+        from change_data_capturer_ms_spark.lake.table import _file_may_match as m
+        f = self._f()  # no stats at all
+        assert m(f, "r", "=", "x") and m(f, "_last_seq", "=", 0)
+        f2 = self._f(col_stats={"r": ["a", "b"]})
+        assert m(f2, "other_col", "=", 1)       # un-stat'd column
+        assert m(f2, "r", "=", 5)               # type mismatch: never prune
+        with pytest.raises(ValueError, match="unsupported"):
+            m(f2, "r", "~", "a")

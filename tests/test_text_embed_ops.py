@@ -86,3 +86,48 @@ def test_normalize_and_quantize_roundtrip(spark):
     # int8 domain respected
     for r in q.collect():
         assert all(-127 <= x <= 127 for x in r["q"])
+
+
+# -- PII redaction -----------------------------------------------------------
+
+class TestRedactPII:
+    def test_redacts_and_counts(self, spark):
+        from pyspark.sql import Row
+        from change_data_capturer_ms_spark.operators import redact_pii
+
+        df = spark.createDataFrame([
+            Row(doc_id=1, text="mail a@b.com or c.d+x@e.org, call +1 (555) 123-4567"),
+            Row(doc_id=2, text="server 10.0.0.1 ssn 123-45-6789"),
+            Row(doc_id=3, text="clean text, no pii at all"),
+        ])
+        out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+        assert out[1]["n_email"] == 2 and out[1]["n_phone"] == 1
+        assert "[PII:email]" in out[1]["text_redacted"]
+        assert "a@b.com" not in out[1]["text_redacted"]
+        assert "555" not in out[1]["text_redacted"]
+        assert out[2]["n_ipv4"] == 1 and out[2]["n_ssn"] == 1
+        assert "10.0.0.1" not in out[2]["text_redacted"]
+        assert "123-45-6789" not in out[2]["text_redacted"]
+        assert out[3]["text_redacted"] == out[3]["text"]
+        assert all(out[3][f"n_{k}"] == 0 for k in ("email", "phone", "ipv4", "ssn"))
+
+    def test_kind_subset_and_validation(self, spark):
+        import pytest
+        from pyspark.sql import Row
+        from change_data_capturer_ms_spark.operators import redact_pii
+
+        df = spark.createDataFrame([Row(doc_id=1, text="a@b.com 10.0.0.1")])
+        row = redact_pii(df, kinds=("email",)).collect()[0]
+        assert "10.0.0.1" in row["text_redacted"]  # not requested: untouched
+        assert "a@b.com" not in row["text_redacted"]
+        assert "n_ipv4" not in row.asDict()
+        with pytest.raises(ValueError, match="unknown PII kinds"):
+            redact_pii(df, kinds=("email", "iban"))
+
+    def test_projection_only_plan(self, spark):
+        from pyspark.sql import Row
+        from change_data_capturer_ms_spark.operators import redact_pii
+
+        df = spark.createDataFrame([Row(doc_id=1, text="x")])
+        plan = redact_pii(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # pure projection: runs at scan speed
