@@ -54,6 +54,11 @@ from change_data_capturer_ms_spark.operators.delta import (
     scd2_history,
     snapshot_diff,
 )
+from change_data_capturer_ms_spark.operators.ivm import (
+    agg_deltas_from_diff,
+    agg_state,
+    apply_agg_deltas,
+)
 from change_data_capturer_ms_spark.operators.text import text_profile, tfidf_top_terms
 from change_data_capturer_ms_spark.operators.reshape import melt, pivot_counts
 
@@ -222,13 +227,31 @@ def q_agg_pricing_summary(spark, sf_dir):
     )
 
 
-def q_agg_distinct(spark, sf_dir):
-    """E9: exact distinct aggregation."""
-    e = _t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.countDistinct("user_id").alias("n_users"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+def q_incr_agg(spark, sf_dir):
+    """Incremental view maintenance (operators/ivm.py): bootstrap the
+    aggregate at watermark W1, fold in per-group deltas derived from the
+    W1→final change feed (retract old image / insert new image, delete-aware,
+    group-migration-aware), and the maintained state must equal a FULL
+    recompute over the final LWW state — which is exactly what the oracle
+    computes. Maintenance cost is O(changed keys), never O(table)."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "op",
+        F.when(F.col("event_type") == "error", "delete").otherwise("insert"),
+    )
+    w1 = e.agg(F.floor(F.max("event_id") / 2)).collect()[0][0]
+    s1 = lww_dedupe(e.filter(F.col("event_id") <= w1),
+                    keys=["user_id"], seq_col="event_id")
+    base = agg_state(s1.filter(F.col("op") != "delete"),
+                     ["event_type"], ["value"])
+    diff = snapshot_diff(e, keys=["user_id"], seq_col="event_id",
+                         value_cols=["event_type", "value"],
+                         seq_old=w1, seq_new=1 << 62, op_col="op")
+    deltas = agg_deltas_from_diff(diff, ["event_type"], ["value"])
+    out = apply_agg_deltas(base, deltas, ["event_type"], ["value"])
+    return out.select(
+        "event_type",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round(F.col("value").cast("double"), 2).alias("sum_value"),
     )
 
 
@@ -298,11 +321,17 @@ def q_string_hash(spark, sf_dir):
 
 
 def q_datetime_bucket(spark, sf_dir):
-    """E14: event-time bucketing (epoch seconds to avoid tz/format drift)."""
+    """E14 + E9 distinct fold: event-time bucketing (epoch seconds to avoid
+    tz/format drift) with exact count-distinct and sum (absorbs the former
+    `agg_distinct` row — same table, same aggregate surface)."""
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy(F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch"))
-        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("n_users"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
     )
 
 
@@ -788,7 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_semi_anti": q_join_semi_anti,
         "join_outer": q_join_outer,
         "agg_pricing_summary": q_agg_pricing_summary,
-        "agg_distinct": q_agg_distinct,
+        "incr_agg": q_incr_agg,
         "rollup_cube_metrics": q_rollup_cube_metrics,
         "topk_orders": q_topk_orders,
         "set_ops": q_set_ops,
@@ -968,10 +997,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
             "GROUP BY l_returnflag, l_linestatus"
         ),
-        "agg_distinct": (
-            "SELECT event_type, COUNT(*)::BIGINT AS n_events, "
-            "COUNT(DISTINCT user_id)::BIGINT AS n_users, "
-            "ROUND(SUM(value), 2) AS sum_value FROM events GROUP BY event_type"
+        "incr_agg": (
+            # full recompute over the final LWW state — the maintained
+            # (bootstrap + delta-fold) Spark result must land exactly here
+            "WITH ranked AS ("
+            "  SELECT *, ROW_NUMBER() OVER ("
+            "    PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events"
+            "), state AS ("
+            "  SELECT * FROM ranked WHERE rn = 1 AND event_type <> 'error'"
+            ") SELECT event_type, COUNT(*)::BIGINT AS n_rows, "
+            "ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2) "
+            "AS sum_value FROM state GROUP BY event_type"
         ),
         "rollup_cube_metrics": (
             "SELECT o_orderstatus, o_orderpriority, COUNT(*)::BIGINT AS n_orders, "
@@ -1012,7 +1048,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "datetime_bucket": (
             "SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch, "
-            "COUNT(*)::BIGINT AS n, COUNT(DISTINCT user_id)::BIGINT AS n_users "
+            "COUNT(*)::BIGINT AS n, COUNT(DISTINCT user_id)::BIGINT AS n_users, "
+            "ROUND(SUM(value), 2) AS sum_value "
             "FROM events GROUP BY 1"
         ),
         "math_funcs": (

@@ -56,6 +56,11 @@ from change_data_capturer_ms_spark.operators.delta import (
     scd2_history,
     snapshot_diff,
 )
+from change_data_capturer_ms_spark.operators.ivm import (
+    agg_deltas_from_diff,
+    agg_state,
+    apply_agg_deltas,
+)
 from change_data_capturer_ms_spark.operators.reshape import (
     melt,
     pivot_counts,
@@ -80,5 +85,6 @@ __all__ = [
     "extract_media_features", "frame_sample", "synth_media",
     "hash_sample", "hash_split", "stratified_sample_exact",
     "change_deltas", "content_change_audit", "scd2_history", "snapshot_diff",
+    "agg_deltas_from_diff", "agg_state", "apply_agg_deltas",
     "melt", "pivot_counts",
 ]
