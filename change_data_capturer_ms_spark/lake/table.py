@@ -570,7 +570,8 @@ class LakeTable:
 
     def compact(self, target_file_bytes: int = 128 * 1024 * 1024,
                 min_files_per_bucket: int = 2,
-                sort_cols: list[str] | None = None) -> dict:
+                sort_cols: list[str] | None = None,
+                zorder_cols: list[str] | None = None) -> dict:
         """Bin-pack small files: rewrite every bucket holding ≥ min_files_per_bucket
         files whose combined size is under target_file_bytes.
 
@@ -589,7 +590,15 @@ class LakeTable:
         then skips without any engine code on the read path. One extra local
         sort per rewritten bucket (no extra shuffle: sortWithinPartitions
         rides the same repartition the rewrite already does).
+
+        `zorder_cols` = Iceberg's ZORDER rewrite strategy: cluster on the
+        Morton interleave of several columns so row-group stats stay tight
+        for EVERY listed column, not just the first (functions/zorder.py).
+        Mutually exclusive with `sort_cols`; costs one extra bounded min/max
+        aggregation over the victim rows.
         """
+        if sort_cols and zorder_cols:
+            raise ValueError("compact: sort_cols and zorder_cols are mutually exclusive")
         m = self.manifest()
         by_bucket: dict[int, list[FileEntry]] = {}
         for f in m.files:
@@ -610,9 +619,16 @@ class LakeTable:
         # with older seqs would bring the key back) and silently breaks delete
         # propagation in read_incremental
         df = self.read(buckets=set(victims), include_deleted=True)
+        drop_after_sort = None
+        if zorder_cols:
+            from change_data_capturer_ms_spark.functions.zorder import zorder_key
+
+            df = df.withColumn("_zkey", zorder_key(df, zorder_cols))
+            sort_cols, drop_after_sort = ["_zkey"], ["_zkey"]
         new_files = self._write_buckets(df, m.key_cols, m.n_buckets,
                                         m.version + 1, len(victims),
-                                        sort_cols=sort_cols)
+                                        sort_cols=sort_cols,
+                                        drop_after_sort=drop_after_sort)
         carried = [f for f in m.files if f.bucket not in victims]
         # maintenance commit: same atomic protocol, but the resume lease is
         # carried over untouched — compaction must never move the CDC cursor
@@ -773,6 +789,7 @@ class LakeTable:
     def _write_buckets(
         self, df: DataFrame, keys: list[str], n_buckets: int,
         version: int, n_affected: int, sort_cols: list[str] | None = None,
+        drop_after_sort: list[str] | None = None,
     ) -> list[FileEntry]:
         """Write df partitioned by bucket under data/v{N}/; return stats entries.
 
@@ -789,6 +806,10 @@ class LakeTable:
         )
         if sort_cols:
             bucketed = bucketed.sortWithinPartitions("_bucket", *sort_cols)
+        if drop_after_sort:
+            # a projection never reorders rows within a partition, so the
+            # clustering established above survives dropping the sort key
+            bucketed = bucketed.drop(*drop_after_sort)
         (
             bucketed
             .write.mode("overwrite")
