@@ -52,6 +52,9 @@ class FileEntry:
     # files at all, before any scan task is scheduled. Absent (None) for
     # pre-upgrade manifests or columns without usable stats ⇒ never pruned.
     col_stats: dict | None = None
+    # equality bloom filters: {col: {"m", "k", "b64"}} (lake/bloom.py). Built
+    # only for tables created with bloom_cols; absent ⇒ no bloom pruning.
+    bloom: dict | None = None
 
     @classmethod
     def from_dict(cls, d: dict) -> "FileEntry":
@@ -124,6 +127,9 @@ class Manifest:
     # (merge-on-read: MERGE appends per-bucket delta files; readers resolve
     # per-key LWW; compact() folds deltas). Default keeps old manifests valid.
     write_mode: str = "cow"
+    # columns carrying per-file equality bloom filters (lake/bloom.py); a
+    # table property fixed at create, like write_mode. [] ⇒ feature off.
+    bloom_cols: list = field(default_factory=list)
 
     def is_committed(self, source_id: str, batch_id) -> bool:
         """Exactly-once check: ledger entry OR covered by the source watermark.

@@ -56,11 +56,21 @@ SEQ_META_COL = "_last_seq"
 OP_META_COL = "_last_op"
 
 
-def _file_may_match(f: FileEntry, col: str, op: str, val) -> bool:
-    """Zone-map test: can `f` contain a row matching `col op val`?
+def _file_may_match(f: FileEntry, col: str, op: str, val,
+                    eq_hash: int | None = None) -> bool:
+    """Zone-map + bloom test: can `f` contain a row matching `col op val`?
     Missing/incomparable stats ⇒ True (never prune blind). String bounds may
     be truncated (lower bound = prefix, upper bound = incremented prefix) —
-    both remain valid bounds, so containment tests stay conservative."""
+    both remain valid bounds, so containment tests stay conservative.
+
+    `eq_hash` (op "=" only): the value's Spark-parity xxhash64 — probes the
+    file's bloom bitmap, catching the absent-but-in-range values min/max
+    can't exclude on high-cardinality unsorted columns."""
+    if op == "=" and eq_hash is not None and f.bloom and col in f.bloom:
+        from change_data_capturer_ms_spark.lake.bloom import might_contain
+
+        if not might_contain(f.bloom[col], eq_hash):
+            return False  # bloom has no false negatives: definitely absent
     if col == SEQ_META_COL:
         stats = None if f.min_seq is None else [f.min_seq, f.max_seq]
     else:
@@ -101,6 +111,7 @@ class LakeTable:
         key_cols: list[str] | None = None,
         n_buckets: int = 16,
         write_mode: str = "cow",
+        bloom_cols: list[str] | None = None,
     ):
         """`write_mode` picks the write-vs-read amplification tradeoff:
 
@@ -115,6 +126,12 @@ class LakeTable:
 
         The mode is recorded in the manifest at create() and is a property of
         the table, not the writer session.
+
+        `bloom_cols`: columns that get a per-file equality bloom filter in
+        every manifest entry (lake/bloom.py) — point lookups and `=` filters
+        skip files the zone map can't (high-cardinality unsorted columns).
+        Costs one extra bounded aggregation per write. Also a create-time
+        table property.
         """
         if write_mode not in ("cow", "mor"):
             raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
@@ -124,6 +141,7 @@ class LakeTable:
         self._key_cols = key_cols or ["repo", "path"]
         self._n_buckets = n_buckets
         self._write_mode = write_mode
+        self._bloom_cols = list(bloom_cols or [])
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -135,6 +153,17 @@ class LakeTable:
         /root/reference/src/capturer/mongo/utils.ts:51-70)."""
         if self.exists():
             raise ValueError(f"table already exists at {self.path}")
+        if self._bloom_cols:
+            from change_data_capturer_ms_spark.lake.bloom import SUPPORTED_TYPES
+
+            types = {f.name: f.dataType.simpleString() for f in schema.fields}
+            for c in self._bloom_cols:
+                if c not in types:
+                    raise ValueError(f"bloom_cols: unknown column {c!r}")
+                if types[c] not in SUPPORTED_TYPES:
+                    raise ValueError(
+                        f"bloom_cols: column {c!r} type {types[c]!r} has no "
+                        f"driver-side xxhash64 (supported: {SUPPORTED_TYPES})")
         extra = [
             T.StructField(SEQ_META_COL, T.LongType(), True),
             T.StructField(OP_META_COL, T.StringType(), True),
@@ -154,6 +183,7 @@ class LakeTable:
             committed_batches=[],
             lease={},
             write_mode=self._write_mode,
+            bloom_cols=self._bloom_cols,
         )
         self.store.commit(m, expected_parent=None)
         return m
@@ -257,6 +287,38 @@ class LakeTable:
             version=version, buckets={bucket},
         )
 
+    def candidate_files(
+        self,
+        filters: list[tuple],
+        version: int | None = None,
+        buckets: set[int] | None = None,
+    ) -> list[FileEntry]:
+        """The manifest entries that can contain a match for `filters` —
+        zone-map ([min,max]) plus bloom (equality membership) skipping, all
+        driver-side, before any scan task exists. Under write_mode='mor' only
+        key columns participate (see read_where)."""
+        m = self.manifest(version)
+        prunable = set(m.key_cols) if m.write_mode == "mor" else None
+        eq_hashes: dict[str, int | None] = {}
+        if m.bloom_cols:
+            from change_data_capturer_ms_spark.lake.bloom import value_hash
+
+            types = {f.name: f.dataType.simpleString() for f in m.schema.fields}
+            eq_hashes = {
+                c: value_hash(v, types[c])
+                for (c, op, v) in filters
+                if op == "=" and c in m.bloom_cols and c in types
+            }
+        return [
+            f for f in m.files
+            if (buckets is None or f.bucket in buckets)
+            and all(
+                _file_may_match(f, c, op, v, eq_hash=eq_hashes.get(c))
+                for (c, op, v) in filters
+                if prunable is None or c in prunable
+            )
+        ]
+
     def read_where(
         self,
         filters: list[tuple],
@@ -282,16 +344,7 @@ class LakeTable:
         apply post-scan.
         """
         m = self.manifest(version)
-        prunable = set(m.key_cols) if m.write_mode == "mor" else None
-        files = [
-            f for f in m.files
-            if (buckets is None or f.bucket in buckets)
-            and all(
-                _file_may_match(f, c, op, v)
-                for (c, op, v) in filters
-                if prunable is None or c in prunable
-            )
-        ]
+        files = self.candidate_files(filters, version=version, buckets=buckets)
         df = self._frame(m, files, include_deleted)
         for c, op, v in filters:
             col = F.col(c)
@@ -545,7 +598,7 @@ class LakeTable:
 
         # 5) cow: rewrite affected buckets; mor: append the deltas, keep all files
         new_files = self._write_buckets(final, keys, n_buckets, m.version + 1,
-                                        len(affected))
+                                        len(affected), bloom_cols=m.bloom_cols)
         carried = (list(m.files) if mor
                    else [f for f in m.files if f.bucket not in affected])
         rows_written = sum(f.rows for f in new_files)
@@ -628,7 +681,8 @@ class LakeTable:
         new_files = self._write_buckets(df, m.key_cols, m.n_buckets,
                                         m.version + 1, len(victims),
                                         sort_cols=sort_cols,
-                                        drop_after_sort=drop_after_sort)
+                                        drop_after_sort=drop_after_sort,
+                                        bloom_cols=m.bloom_cols)
         carried = [f for f in m.files if f.bucket not in victims]
         # maintenance commit: same atomic protocol, but the resume lease is
         # carried over untouched — compaction must never move the CDC cursor
@@ -650,6 +704,7 @@ class LakeTable:
             lease=dict(m.lease),
             batch_watermarks=watermarks,
             write_mode=m.write_mode,
+            bloom_cols=m.bloom_cols,
         )
         self.store.commit(new, expected_parent=m.version)
         return {"compacted_buckets": len(victims), "version": m.version + 1,
@@ -701,7 +756,8 @@ class LakeTable:
             return {"expired": 0, "version": m.version}
         keep = self.read(buckets=victims, include_deleted=True).filter(~expirable)
         new_files = self._write_buckets(keep, m.key_cols, m.n_buckets,
-                                        m.version + 1, len(victims))
+                                        m.version + 1, len(victims),
+                                        bloom_cols=m.bloom_cols)
         carried = [f for f in m.files if f.bucket not in victims]
         from change_data_capturer_ms_spark.lake.manifest import prune_ledger
 
@@ -721,6 +777,7 @@ class LakeTable:
             lease=dict(m.lease),
             batch_watermarks=watermarks,
             write_mode=m.write_mode,
+            bloom_cols=m.bloom_cols,
         )
         self.store.commit(new, expected_parent=m.version)
         return {"expired_buckets": len(victims), "version": m.version + 1}
@@ -790,6 +847,7 @@ class LakeTable:
         self, df: DataFrame, keys: list[str], n_buckets: int,
         version: int, n_affected: int, sort_cols: list[str] | None = None,
         drop_after_sort: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> list[FileEntry]:
         """Write df partitioned by bucket under data/v{N}/; return stats entries.
 
@@ -890,7 +948,53 @@ class LakeTable:
 
         paths = glob.glob(os.path.join(out_dir, "_bucket=*", "*.parquet"))
         with ThreadPoolExecutor(max_workers=min(16, max(len(paths), 1))) as ex:
-            return [e for e in ex.map(_stat, paths) if e is not None]
+            entries = [e for e in ex.map(_stat, paths) if e is not None]
+        if bloom_cols and entries:
+            self._attach_blooms(entries, out_dir, bloom_cols)
+        return entries
+
+    def _attach_blooms(self, entries: list[FileEntry], out_dir: str,
+                       bloom_cols: list[str]) -> None:
+        """One aggregation over the just-written files → per-(bucket, col)
+        bloom bitmaps on the manifest entries (lake/bloom.py).
+
+        Bitmap width adapts to each file's row count. The driver collect is
+        bounded: per (file, col) at most min(k·rows, m) distinct positions.
+        Hash-partitioning guarantees one file per bucket per write, so keying
+        by bucket is keying by file.
+        """
+        from change_data_capturer_ms_spark.lake.bloom import (
+            K_HASHES, bloom_m, pack_bits, position_exprs)
+
+        m_by_bucket = {e.bucket: bloom_m(e.rows) for e in entries}
+        src = self.spark.read.parquet(out_dir)  # partition col _bucket intact
+        cols = [c for c in bloom_cols if c in src.columns]
+        if not cols:
+            return
+        m_map = F.create_map(*[F.lit(x) for b, m_ in m_by_bucket.items()
+                               for x in (b, m_)])
+        m_expr = F.element_at(m_map, F.col("_bucket").cast("int"))
+        probes = F.array(*[
+            F.struct(F.lit(c).alias("c"), p.alias("p"))
+            for c in cols
+            for p in position_exprs(c, m_expr, K_HASHES)
+        ])
+        rows = (
+            src.select(F.col("_bucket").cast("int").alias("_bucket"),
+                       F.explode(probes).alias("e"))
+            .where(F.col("e.p").isNotNull())
+            .groupBy("_bucket", F.col("e.c").alias("c"))
+            .agg(F.collect_set("e.p").alias("ps"))
+            .collect()
+        )
+        blooms: dict[int, dict] = {}
+        for r in rows:
+            m_ = m_by_bucket[r["_bucket"]]
+            blooms.setdefault(r["_bucket"], {})[r["c"]] = {
+                "m": m_, "k": K_HASHES, "b64": pack_bits(r["ps"], m_)}
+        for e in entries:
+            if e.bucket in blooms:
+                e.bloom = blooms[e.bucket]
 
     def _commit(self, parent: Manifest, files: list[FileEntry], schema: T.StructType,
                 schema_version: int, ledger_key: str, source_id: str,
@@ -920,5 +1024,6 @@ class LakeTable:
             lease=lease,
             batch_watermarks=watermarks,
             write_mode=parent.write_mode,
+            bloom_cols=parent.bloom_cols,
         )
         self.store.commit(new, expected_parent=parent.version)
