@@ -42,6 +42,7 @@ from change_data_capturer_ms_spark.operators import (
     lww_dedupe,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    psi_terms,
     synth_media,
 )
 from change_data_capturer_ms_spark.operators.similarity import embedding_near_dup_pairs
@@ -62,7 +63,7 @@ from change_data_capturer_ms_spark.operators.ivm import (
 from change_data_capturer_ms_spark.operators.text import text_profile, tfidf_top_terms
 from change_data_capturer_ms_spark.operators.reshape import melt, pivot_counts
 
-_VER = "r2a"  # bump to invalidate cached temp tables when semantics change
+_VER = "r2b"  # bump to invalidate cached temp tables when semantics change
 
 # Query-count discipline: the driver records at most ~50 CORRECTNESS rows, so the
 # surface is consolidated to exactly 50 entries — operator pairs with one natural
@@ -248,10 +249,24 @@ def q_incr_agg(spark, sf_dir):
                          seq_old=w1, seq_new=1 << 62, op_col="op")
     deltas = agg_deltas_from_diff(diff, ["event_type"], ["value"])
     out = apply_agg_deltas(base, deltas, ["event_type"], ["value"])
-    return out.select(
+    # COUNT(DISTINCT user_id) maintained EXACTLY via the value-level state
+    # (operators/ivm.py distinct section): per-(event_type, user_id) live
+    # counts are self-maintainable; the distinct count is a row count over
+    # that state. Keys are emitted bare by snapshot_diff, so alias them to
+    # the old_/new_ sides (a key never changes its own identity).
+    from change_data_capturer_ms_spark.operators import distinct_counts
+    vbase = agg_state(s1.filter(F.col("op") != "delete"),
+                      ["event_type", "user_id"])
+    diff_k = diff.withColumn("old_user_id", F.col("user_id")) \
+                 .withColumn("new_user_id", F.col("user_id"))
+    vdeltas = agg_deltas_from_diff(diff_k, ["event_type", "user_id"])
+    vstate = apply_agg_deltas(vbase, vdeltas, ["event_type", "user_id"])
+    dist = distinct_counts(vstate, ["event_type"])
+    return out.join(dist, "event_type", "left").select(
         "event_type",
         F.col("n_rows").cast("long").alias("n_rows"),
         F.round(F.col("value").cast("double"), 2).alias("sum_value"),
+        F.col("n_distinct").cast("long").alias("n_distinct_users"),
     )
 
 
@@ -756,17 +771,37 @@ def q_doc_fingerprint(spark, sf_dir):
     return doc_fingerprint(_t(spark, sf_dir, "documents"), n=4)
 
 
-def q_multimodal_meta(spark, sf_dir):
-    """Binary-column plumbing: synth payloads → mapInPandas feature extraction
-    (deterministic fake decode; real decode is the stubbed seam)."""
-    media = synth_media(_t(spark, sf_dir, "documents"))
-    return extract_media_features(media)
-
-
-def q_frame_sample(spark, sf_dir):
+def q_multimodal_pipeline(spark, sf_dir):
+    """Binary-column plumbing end-to-end (r2 fold of multimodal_meta +
+    frame_sample): synth payloads → mapInPandas feature extraction
+    (deterministic fake decode; real decode is the stubbed seam) → Catalyst
+    frame-sampling plan for videos, LEFT-joined back so every media row
+    appears (videos once per sampled frame). In a real pipeline the feature
+    frame would be persisted before the two consumers branch."""
     media = synth_media(_t(spark, sf_dir, "documents"))
     feats = extract_media_features(media)
-    return frame_sample(feats, every_n=10)
+    frames = frame_sample(feats, every_n=10)
+    return feats.join(frames, "media_id", "left").select(
+        "media_id", "kind", "n_bytes", "payload_sha256",
+        "width", "height", "n_frames", "frame_idx")
+
+
+def q_drift_psi(spark, sf_dir):
+    """Distribution drift (operators/drift.py): PSI of the numeric `value`
+    column and the categorical `event_type` mix between the first and second
+    half of the event log, in one tagged surface. Each side is ONE pruned
+    scan folded to an O(bins) histogram; the PSI join touches only those
+    aggregates. Fixed [lo, hi) binning so the two windows are comparable."""
+    e = _t(spark, sf_dir, "events")
+    w = e.agg(F.floor(F.max("event_id") / 2)).collect()[0][0]
+    old, new = e.filter(F.col("event_id") <= w), e.filter(F.col("event_id") > w)
+    num = psi_terms(old, new, "value", bins=10, lo=0.0, hi=500.0).select(
+        F.lit("num").alias("src"), F.col("bin").cast("string").alias("key"),
+        "n_old", "n_new", F.round("psi_term", 6).alias("psi_term_r"))
+    cat = psi_terms(old, new, "event_type", categorical=True).select(
+        F.lit("cat").alias("src"), F.col("cat").alias("key"),
+        "n_old", "n_new", F.round("psi_term", 6).alias("psi_term_r"))
+    return num.unionByName(cat)
 
 
 # ---------------------------------------------------------------------------
@@ -853,8 +888,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup": q_embed_near_dup,
         "text_quality_langid": q_text_quality_langid,
         "doc_fingerprint": q_doc_fingerprint,
-        "multimodal_meta": q_multimodal_meta,
-        "frame_sample": q_frame_sample,
+        "multimodal_pipeline": q_multimodal_pipeline,
+        "drift_psi": q_drift_psi,
         "cdc_streaming_state": q_cdc_streaming_state,
     }
 
@@ -1007,7 +1042,8 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT * FROM ranked WHERE rn = 1 AND event_type <> 'error'"
             ") SELECT event_type, COUNT(*)::BIGINT AS n_rows, "
             "ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2) "
-            "AS sum_value FROM state GROUP BY event_type"
+            "AS sum_value, COUNT(DISTINCT user_id)::BIGINT AS n_distinct_users "
+            "FROM state GROUP BY event_type"
         ),
         "rollup_cube_metrics": (
             "SELECT o_orderstatus, o_orderpriority, COUNT(*)::BIGINT AS n_orders, "
@@ -1324,8 +1360,8 @@ def oracle_sql() -> dict[str, str]:
             f"MAX({_H('shingle')})::BIGINT AS fp_max, COUNT(*)::BIGINT AS n_shingles "
             "FROM shingles GROUP BY doc_id"
         ),
-        "multimodal_meta": (
-            "SELECT doc_id AS media_id, "
+        "multimodal_pipeline": (
+            "WITH feats AS (SELECT doc_id AS media_id, "
             "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, "
             "octet_length(encode(text))::BIGINT AS n_bytes, sha256(text) AS payload_sha256, "
             "CASE WHEN doc_id % 3 IN (0, 2) THEN "
@@ -1334,14 +1370,44 @@ def oracle_sql() -> dict[str, str]:
             "  (16 + ('0x' || substr(sha256(text), 3, 2))::INT % 240)::INT END AS height, "
             "CASE WHEN doc_id % 3 = 0 THEN 1 "
             "  ELSE (1 + ('0x' || substr(sha256(text), 5, 2))::INT % 300)::INT END AS n_frames "
-            "FROM documents"
+            "FROM documents), "
+            "frames AS (SELECT media_id, g::INT AS frame_idx FROM ("
+            "  SELECT media_id, unnest(generate_series(0, n_frames - 1, 10)) AS g "
+            "  FROM feats WHERE kind = 'video')) "
+            "SELECT f.media_id, kind, n_bytes, payload_sha256, width, height, "
+            "n_frames, frame_idx FROM feats f LEFT JOIN frames USING (media_id)"
         ),
-        "frame_sample": (
-            "WITH feats AS (SELECT doc_id AS media_id, "
-            "  (1 + ('0x' || substr(sha256(text), 5, 2))::INT % 300) AS n_frames "
-            "  FROM documents WHERE doc_id % 3 = 2) "
-            "SELECT media_id, g::INT AS frame_idx FROM ("
-            "  SELECT media_id, unnest(generate_series(0, n_frames - 1, 10)) AS g FROM feats)"
+        "drift_psi": (
+            # identical IEEE arithmetic to operators/drift.py: bin =
+            # floor(bins*(v-lo)/(hi-lo))+1 clamped, eps-floored ratios, ln.
+            # DuckDB's log() is log10 — ln() below is deliberate.
+            "WITH old_h AS (SELECT CASE WHEN value < 0.0 THEN 0 "
+            "    WHEN value >= 500.0 THEN 11 "
+            "    ELSE (floor(10.0 * (CAST(value AS DOUBLE) - 0.0) / 500.0) + 1)::INT END AS key, "
+            "    COUNT(*)::BIGINT AS n_old FROM events "
+            "  WHERE event_id <= (SELECT floor(max(event_id) / 2) FROM events) GROUP BY 1), "
+            "new_h AS (SELECT CASE WHEN value < 0.0 THEN 0 "
+            "    WHEN value >= 500.0 THEN 11 "
+            "    ELSE (floor(10.0 * (CAST(value AS DOUBLE) - 0.0) / 500.0) + 1)::INT END AS key, "
+            "    COUNT(*)::BIGINT AS n_new FROM events "
+            "  WHERE event_id > (SELECT floor(max(event_id) / 2) FROM events) GROUP BY 1), "
+            "old_c AS (SELECT event_type AS key, COUNT(*)::BIGINT AS n_old FROM events "
+            "  WHERE event_id <= (SELECT floor(max(event_id) / 2) FROM events) GROUP BY 1), "
+            "new_c AS (SELECT event_type AS key, COUNT(*)::BIGINT AS n_new FROM events "
+            "  WHERE event_id > (SELECT floor(max(event_id) / 2) FROM events) GROUP BY 1), "
+            "num_j AS (SELECT 'num' AS src, COALESCE(o.key, n.key)::VARCHAR AS key, "
+            "  COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new "
+            "  FROM old_h o FULL OUTER JOIN new_h n ON o.key = n.key), "
+            "cat_j AS (SELECT 'cat' AS src, COALESCE(o.key, n.key) AS key, "
+            "  COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new "
+            "  FROM old_c o FULL OUTER JOIN new_c n ON o.key = n.key), "
+            "terms AS ("
+            "  SELECT src, key, n_old, n_new, "
+            "    greatest(n_old / greatest(SUM(n_old) OVER (PARTITION BY src), 1), 1e-6) AS p, "
+            "    greatest(n_new / greatest(SUM(n_new) OVER (PARTITION BY src), 1), 1e-6) AS q "
+            "  FROM (SELECT * FROM num_j UNION ALL SELECT * FROM cat_j)) "
+            "SELECT src, key, n_old, n_new, "
+            "ROUND((q - p) * ln(q / p), 6) AS psi_term_r FROM terms"
         ),
         # cdc_streaming_state: intentionally omitted — stateful Structured Streaming
         # with checkpoint + exactly-once ledger is not expressible as a single

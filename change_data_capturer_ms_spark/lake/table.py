@@ -868,12 +868,13 @@ class LakeTable:
             # a projection never reorders rows within a partition, so the
             # clustering established above survives dropping the sort key
             bucketed = bucketed.drop(*drop_after_sort)
-        (
-            bucketed
-            .write.mode("overwrite")
-            .partitionBy("_bucket")
-            .parquet(out_dir)
-        )
+        writer = bucketed.write.mode("overwrite").partitionBy("_bucket")
+        for c in bloom_cols or []:
+            # two-level skipping: manifest blooms (below) skip whole FILES
+            # driver-side; parquet column blooms let the reader skip ROW
+            # GROUPS inside the files that survive
+            writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        writer.parquet(out_dir)
         import pyarrow.parquet as pq
         from concurrent.futures import ThreadPoolExecutor
 

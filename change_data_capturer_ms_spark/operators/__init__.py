@@ -60,10 +60,21 @@ from change_data_capturer_ms_spark.operators.ivm import (
     agg_deltas_from_diff,
     agg_state,
     apply_agg_deltas,
+    apply_hll_deltas,
+    distinct_counts,
+    hll_deltas_from_diff,
+    hll_estimates,
+    hll_state,
 )
 from change_data_capturer_ms_spark.operators.reshape import (
     melt,
     pivot_counts,
+)
+from change_data_capturer_ms_spark.operators.drift import (
+    category_freq,
+    histogram,
+    psi,
+    psi_terms,
 )
 from change_data_capturer_ms_spark.operators.multimodal import (
     extract_media_features,
@@ -86,5 +97,8 @@ __all__ = [
     "hash_sample", "hash_split", "stratified_sample_exact",
     "change_deltas", "content_change_audit", "scd2_history", "snapshot_diff",
     "agg_deltas_from_diff", "agg_state", "apply_agg_deltas",
+    "distinct_counts", "hll_state", "hll_deltas_from_diff",
+    "apply_hll_deltas", "hll_estimates",
+    "histogram", "category_freq", "psi", "psi_terms",
     "melt", "pivot_counts",
 ]

@@ -1,0 +1,112 @@
+"""Distribution drift (histogram/PSI) vs a pure-python reference."""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from change_data_capturer_ms_spark.operators.drift import (
+    category_freq,
+    histogram,
+    psi,
+    psi_terms,
+)
+
+
+def _py_psi(old_vals, new_vals, bins, lo, hi, eps=1e-6):
+    def binned(vals):
+        counts = [0] * (bins + 2)
+        for v in vals:
+            if v < lo:
+                b = 0
+            elif v >= hi:
+                b = bins + 1
+            else:
+                b = 1 + int((v - lo) / (hi - lo) * bins)
+            counts[b] += 1
+        return counts
+    co, cn = binned(old_vals), binned(new_vals)
+    to, tn = max(sum(co), 1), max(sum(cn), 1)
+    s = 0.0
+    for a, b in zip(co, cn):
+        if a == 0 and b == 0:
+            continue  # bin absent from the outer join entirely
+        p, q = max(a / to, eps), max(b / tn, eps)
+        s += (q - p) * math.log(q / p)
+    return s
+
+
+class TestHistogram:
+    def test_bins_match_reference_with_under_overflow(self, spark):
+        vals = [-5.0, 0.0, 0.5, 4.9, 5.0, 9.9, 10.0, 42.0]
+        df = spark.createDataFrame([Row(x=v) for v in vals])
+        got = {r["bin"]: r["n"] for r in histogram(df, "x", 2, 0.0, 10.0).collect()}
+        # -5 underflow; 0,0.5,4.9 bin1; 5,9.9 bin2; 10,42 overflow
+        assert got == {0: 1, 1: 3, 2: 2, 3: 2}
+
+    def test_nulls_excluded_and_validation(self, spark):
+        df = spark.createDataFrame([Row(x=1.0), Row(x=None)])
+        assert histogram(df, "x", 4, 0.0, 2.0).agg(F.sum("n")).first()[0] == 1
+        with pytest.raises(ValueError):
+            histogram(df, "x", 0, 0.0, 1.0)
+        with pytest.raises(ValueError):
+            histogram(df, "x", 4, 1.0, 1.0)
+
+    def test_plan_single_agg_no_udf(self, spark):
+        df = spark.createDataFrame([Row(x=float(i)) for i in range(100)])
+        plan = histogram(df, "x", 10, 0.0, 100.0) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "python" not in plan.lower() and "Join" not in plan
+        assert plan.count("Exchange") == 1  # one shuffle: the groupBy
+
+
+class TestPSI:
+    def test_identical_distributions_score_zero(self, spark):
+        df = spark.createDataFrame([Row(x=float(i % 17)) for i in range(500)])
+        assert psi(df, df, "x", bins=8, lo=0.0, hi=17.0) == pytest.approx(0.0)
+
+    def test_matches_python_reference(self, spark):
+        old_vals = [float((i * 7) % 50) for i in range(400)]
+        new_vals = [float((i * 7) % 50) * 1.4 + 5 for i in range(300)]
+        old = spark.createDataFrame([Row(x=v) for v in old_vals])
+        new = spark.createDataFrame([Row(x=v) for v in new_vals])
+        got = psi(old, new, "x", bins=10, lo=0.0, hi=50.0)
+        want = _py_psi(old_vals, new_vals, 10, 0.0, 50.0)
+        assert got == pytest.approx(want, rel=1e-9)
+
+    def test_shift_detected_above_threshold(self, spark):
+        old = spark.createDataFrame([Row(x=float(i % 20)) for i in range(1000)])
+        new = spark.createDataFrame([Row(x=float(i % 20) + 12) for i in range(1000)])
+        assert psi(old, new, "x", bins=10, lo=0.0, hi=20.0) > 0.2
+
+    def test_default_bounds_from_reference_side(self, spark):
+        old = spark.createDataFrame([Row(x=float(i)) for i in range(100)])
+        assert psi(old, old, "x", bins=5) == pytest.approx(0.0)
+        const = spark.createDataFrame([Row(x=1.0)])
+        with pytest.raises(ValueError, match="empty/constant"):
+            psi(const, const, "x")
+
+    def test_categorical_with_null_category(self, spark):
+        old = spark.createDataFrame(
+            [Row(lang="py")] * 50 + [Row(lang="go")] * 50)
+        new = spark.createDataFrame(
+            [Row(lang="py")] * 30 + [Row(lang="go")] * 30 + [Row(lang=None)] * 40)
+        terms = psi_terms(old, new, "lang", categorical=True).collect()
+        cats = {r["cat"] for r in terms}
+        assert None in cats  # sudden NULLs ARE drift
+        score = psi(old, new, "lang", categorical=True)
+        assert score > 0.2
+
+    def test_terms_show_which_bin_moved(self, spark):
+        old = spark.createDataFrame([Row(x=1.0)] * 90 + [Row(x=5.0)] * 10)
+        new = spark.createDataFrame([Row(x=1.0)] * 10 + [Row(x=5.0)] * 90)
+        terms = {r["bin"]: r for r in
+                 psi_terms(old, new, "x", bins=2, lo=0.0, hi=6.0).collect()}
+        # both populated bins carry large positive contributions
+        assert terms[1]["psi_term"] > 0.5 and terms[2]["psi_term"] > 0.5
+
+    def test_freq_counts(self, spark):
+        df = spark.createDataFrame([Row(lang="py"), Row(lang="py"), Row(lang=None)])
+        got = {r["cat"]: r["n"] for r in category_freq(df, "lang").collect()}
+        assert got == {"py": 2, None: 1}

@@ -111,3 +111,75 @@ class TestIVM:
         state = apply_agg_deltas(_recompute(log, 0).limit(0), deltas, ["grp"], ["val"])
         r = state.collect()[0]
         assert float(r["val"]) == 1.0 and r["n_rows"] == 10
+
+
+class TestDistinctIVM:
+    """COUNT(DISTINCT) maintenance: exact value-level path and HLL path."""
+
+    def test_exact_distinct_equals_recompute_at_every_cut(self, spark):
+        from change_data_capturer_ms_spark.operators import distinct_counts
+
+        log = _log(spark)
+        # value-level state: plain COUNT maintenance grouped by (grp, val).
+        # empty init via range(0)+casts — createDataFrame([], schema) plants
+        # a codegen-breaking ExistingRDD node (see lake/table.py read())
+        empty = spark.range(0).select(
+            F.lit("x").alias("grp"), F.lit(0.0).alias("val"))
+        state = agg_state(empty, ["grp", "val"])
+        prev = 0
+        for w in (3, 6, 10):
+            diff = snapshot_diff(log, keys=["key"], seq_col="seq",
+                                 value_cols=["grp", "val"], seq_old=prev,
+                                 seq_new=w, op_col="op")
+            deltas = agg_deltas_from_diff(diff, ["grp", "val"])
+            state = apply_agg_deltas(state, deltas, ["grp", "val"])
+            got = sorted((r["grp"], r["n_distinct"])
+                         for r in distinct_counts(state, ["grp"]).collect())
+            live = lww_dedupe(log.filter(F.col("seq") <= w), keys=["key"],
+                              seq_col="seq").filter(F.col("op") != "delete")
+            want = sorted(
+                (r["grp"], r["nd"]) for r in
+                live.groupBy("grp").agg(
+                    F.countDistinct("val").alias("nd")).collect())
+            assert got == want, f"cut {w}"
+            prev = w
+
+    def test_hll_maintenance_matches_direct_sketch(self, spark):
+        from change_data_capturer_ms_spark.operators import (
+            apply_hll_deltas, hll_deltas_from_diff, hll_estimates, hll_state)
+
+        # append-only feed: 3 groups x overlapping values across two batches
+        rows = [Row(key=i, seq=i, grp=f"g{i % 3}", val=f"v{i % 40}", op="insert")
+                for i in range(1, 121)]
+        log = spark.createDataFrame(rows)
+        b1, b2 = log.filter(F.col("seq") <= 60), log.filter(F.col("seq") > 60)
+
+        state = hll_state(b1, ["grp"], "val")
+        diff = snapshot_diff(log, keys=["key"], seq_col="seq",
+                             value_cols=["grp", "val"], seq_old=60, seq_new=120,
+                             op_col="op")
+        state = apply_hll_deltas(
+            state, hll_deltas_from_diff(diff, ["grp"], "val"), ["grp"])
+        got = {r["grp"]: r["n_distinct_approx"]
+               for r in hll_estimates(state, ["grp"]).collect()}
+        # direct sketch over the full feed — merge must be lossless
+        want = {r["grp"]: r["n_distinct_approx"]
+                for r in hll_estimates(hll_state(log, ["grp"], "val"),
+                                       ["grp"]).collect()}
+        assert got == want
+        # and at this tiny cardinality the HLL estimate is exact
+        exact = {r["grp"]: r["nd"] for r in log.groupBy("grp").agg(
+            F.countDistinct("val").alias("nd")).collect()}
+        assert got == exact
+
+    def test_hll_refuses_mutable_feed(self, spark):
+        from change_data_capturer_ms_spark.operators import hll_deltas_from_diff
+
+        log = _log(spark)
+        # seq (4, 10]: in-place updates and a delete -> retractions present
+        # (a 0-based window would net every delete out into plain 'added')
+        diff = snapshot_diff(log, keys=["key"], seq_col="seq",
+                             value_cols=["grp", "val"], seq_old=4, seq_new=10,
+                             op_col="op")
+        with pytest.raises(ValueError, match="cannot retract"):
+            hll_deltas_from_diff(diff, ["grp"], "val")
