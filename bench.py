@@ -46,7 +46,7 @@ HEADLINE = [
     "window_tumbling",
     "dedup_minhash_lsh",
     "embed_knn_methods",
-    "multimodal_meta",
+    "multimodal_pipeline",
 ]
 
 

@@ -33,7 +33,13 @@ contract, /root/reference/src/queue/eventhub/utils.ts:28-39 → SURVEY.md §2.2 
 
 Schema evolution (E20): additive — a batch with new payload columns extends the
 manifest schema; old files are *not* rewritten, readers project them with NULLs via
-the explicit manifest schema (Spark parquet reader fills absent columns).
+the explicit manifest schema (Spark parquet reader fills absent columns) — and
+widening: a batch whose existing column carries a wider compatible type
+(int→long, float→double, decimal precision growth at the same scale — Iceberg's
+legal promotions) widens the manifest schema in place; old narrow files are not
+rewritten either, Spark 4's vectorized parquet reader upcasts them on read. An
+incompatible type change raises instead of letting UNION's implicit coercion
+(e.g. int+string→string) silently corrupt the column.
 
 Time travel: `read(version=N)` reads any retained snapshot (replay verification).
 """
@@ -95,6 +101,28 @@ def _file_may_match(f: FileEntry, col: str, op: str, val,
     except TypeError:
         return True  # type mismatch between stat and literal: no pruning
     raise ValueError(f"unsupported zone-map op: {op!r}")
+
+
+_INT_RANK = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+_FLOAT_RANK = {"float": 0, "double": 1}
+
+
+def widen_type(old: T.DataType, new: T.DataType) -> T.DataType | None:
+    """The wider of two types under Iceberg's legal promotions, or None when
+    the change is incompatible: integer widths, float→double, and decimal
+    precision growth at the SAME scale. Deliberately no int→float/double or
+    scale changes — those lose information or shift values."""
+    if old == new:
+        return old
+    os_, ns = old.simpleString(), new.simpleString()
+    if os_ in _INT_RANK and ns in _INT_RANK:
+        return old if _INT_RANK[os_] >= _INT_RANK[ns] else new
+    if os_ in _FLOAT_RANK and ns in _FLOAT_RANK:
+        return old if _FLOAT_RANK[os_] >= _FLOAT_RANK[ns] else new
+    if (isinstance(old, T.DecimalType) and isinstance(new, T.DecimalType)
+            and old.scale == new.scale):
+        return old if old.precision >= new.precision else new
+    return None
 
 
 def bucket_expr(key_cols: list[str], n_buckets: int):
@@ -483,11 +511,34 @@ class LakeTable:
             f for f in batch.schema.fields
             if f.name in payload_cols and f.name not in old_schema.fieldNames()
         ]
+        # widening evolution: an existing column arriving with a wider
+        # compatible type widens the manifest schema (old narrow files are
+        # read back upcast — no rewrite); an incompatible change must raise
+        # HERE, before UNION's implicit coercion silently rewrites the column
+        widened: dict[str, T.DataType] = {}
+        for f in batch.schema.fields:
+            if f.name not in payload_cols or f.name not in old_schema.fieldNames():
+                continue
+            old_t = old_schema[f.name].dataType
+            if f.dataType == old_t:
+                continue
+            w = widen_type(old_t, f.dataType)
+            if w is None:
+                raise ValueError(
+                    f"schema evolution: column {f.name!r} incompatible type "
+                    f"change {old_t.simpleString()} -> {f.dataType.simpleString()}"
+                    " (legal: int widths, float->double, decimal precision"
+                    " growth at the same scale)")
+            if w != old_t:
+                widened[f.name] = w
         schema = old_schema
         schema_version = m.schema_version
-        if new_fields:
+        if new_fields or widened:
             meta_names = (SEQ_META_COL, OP_META_COL)
-            fields = [f for f in old_schema.fields if f.name not in meta_names]
+            fields = [
+                T.StructField(f.name, widened.get(f.name, f.dataType), True)
+                for f in old_schema.fields if f.name not in meta_names
+            ]
             fields += [T.StructField(f.name, f.dataType, True) for f in new_fields]
             fields.append(T.StructField(SEQ_META_COL, T.LongType(), True))
             fields.append(T.StructField(OP_META_COL, T.StringType(), True))
@@ -590,11 +641,17 @@ class LakeTable:
             winners.withColumn(SEQ_META_COL, F.col(seq_col))
             .withColumn(OP_META_COL, F.col(op_col))
         )
-        final = aligned.select(*[
-            F.col(c) if c in aligned.columns
-            else F.lit(None).cast(schema[c].dataType).alias(c)
-            for c in out_cols
-        ])
+        def _out(c: str):
+            if c not in aligned.columns:
+                return F.lit(None).cast(schema[c].dataType).alias(c)
+            if aligned.schema[c].dataType != schema[c].dataType:
+                # widened column where the union resolved narrow (e.g. mor
+                # append of an int batch into a bigint column): files written
+                # now must carry the manifest's physical type
+                return F.col(c).cast(schema[c].dataType).alias(c)
+            return F.col(c)
+
+        final = aligned.select(*[_out(c) for c in out_cols])
 
         # 5) cow: rewrite affected buckets; mor: append the deltas, keep all files
         new_files = self._write_buckets(final, keys, n_buckets, m.version + 1,
@@ -710,6 +767,61 @@ class LakeTable:
         return {"compacted_buckets": len(victims), "version": m.version + 1,
                 "files_before": sum(len(v) for v in victims.values()),
                 "files_after": len(new_files)}
+
+    def rebucket(self, new_n_buckets: int) -> dict:
+        """Bucket-count evolution: rewrite the table once under a new hash-bucket
+        count (Iceberg partition-spec evolution for the bucket transform,
+        re-expressed; spec is per-snapshot there, per-manifest here).
+
+        Why it exists: the bucket count is THE scale knob of this layout — a
+        table that grew 100x needs proportionally more buckets or each MERGE
+        rewrite and point-lookup scan balloons with it. The bucket id is
+        pmod(xxhash64(keys), n) with n recorded in the manifest, so every
+        reader resolves the count from the version it reads: time travel to
+        pre-rebucket versions keeps pruning with the OLD count, new commits
+        use the new one — no reader-side ambiguity, no dual-hash window.
+
+        Cost is one full-table shuffle + rewrite — the honest floor for a
+        modulus change (virtually every row moves bucket). Runs through the
+        same atomic manifest protocol: schema, lease, and exactly-once ledger
+        are carried; tombstones ride along (include_deleted) so delete
+        suppression survives; MOR delta files fold into resolved base files
+        as a side effect (a rebucket subsumes compaction).
+        """
+        m = self.manifest()
+        if not new_n_buckets > 0:
+            raise ValueError(f"rebucket: need new_n_buckets > 0, got {new_n_buckets}")
+        if new_n_buckets == m.n_buckets:
+            return {"rebucketed": False, "version": m.version,
+                    "n_buckets": m.n_buckets}
+        df = self.read(include_deleted=True)
+        new_files = self._write_buckets(df, m.key_cols, new_n_buckets,
+                                        m.version + 1, new_n_buckets,
+                                        bloom_cols=m.bloom_cols)
+        from change_data_capturer_ms_spark.lake.manifest import prune_ledger
+
+        batches, watermarks = prune_ledger(
+            m.committed_batches + [f"maintenance:rebucket-v{m.version + 1}"],
+            m.batch_watermarks,
+        )
+        new = Manifest(
+            version=m.version + 1,
+            parent=m.version,
+            schema_json=m.schema_json,
+            schema_version=m.schema_version,
+            n_buckets=new_n_buckets,
+            key_cols=m.key_cols,
+            files=new_files,
+            committed_batches=batches,
+            lease=dict(m.lease),
+            batch_watermarks=watermarks,
+            write_mode=m.write_mode,
+            bloom_cols=m.bloom_cols,
+        )
+        self.store.commit(new, expected_parent=m.version)
+        return {"rebucketed": True, "version": m.version + 1,
+                "n_buckets": new_n_buckets,
+                "files": len(new_files)}
 
     def expire_tombstones(self, min_seq: int) -> dict:
         """Drop delete tombstones with `_last_seq < min_seq`.

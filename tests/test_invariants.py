@@ -163,6 +163,106 @@ class TestSchemaEvolution:
         assert "stars" not in pipe.table.read(version=1).columns
         assert "stars" in pipe.table.read().columns
 
+    def test_type_widening_mid_stream(self, spark, tmpdir_path):
+        """E20 widening: int→long and float→double batches widen the manifest
+        schema in place; old narrow files read back upcast (no rewrite); a
+        narrower later batch needs no bump; an incompatible change raises."""
+        t = LakeTable(spark, f"{tmpdir_path}/wtable", key_cols=["k"], n_buckets=4)
+        t.create(T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.IntegerType()),
+            T.StructField("d", T.FloatType()),
+        ]))
+
+        def batch(vals, v_type, d_type, seq0):
+            return spark.createDataFrame(
+                [(k, v, float(v), seq0 + i, "insert")
+                 for i, (k, v) in enumerate(vals)],
+                "k long, v long, d double, seq long, op string",
+            ).select("k", F.col("v").cast(v_type), F.col("d").cast(d_type),
+                     "seq", "op")
+
+        t.merge(batch([(1, 10), (2, 20)], "int", "float", 0), batch_id=0)
+        sv0 = t.manifest().schema_version
+
+        # wider batch (v: int->long, d: float->double) — one version bump
+        t.merge(batch([(2, 1 << 40), (3, 30)], "long", "double", 10), batch_id=1)
+        m = t.manifest()
+        assert m.schema_version == sv0 + 1
+        assert m.schema["v"].dataType == T.LongType()
+        assert m.schema["d"].dataType == T.DoubleType()
+        got = {r["k"]: r["v"] for r in t.read().collect()}
+        assert got == {1: 10, 2: 1 << 40, 3: 30}  # old narrow file upcast
+
+        # narrower batch after widening: no bump, values land in the wide column
+        t.merge(batch([(4, 40)], "int", "float", 20), batch_id=2)
+        assert t.manifest().schema_version == sv0 + 1
+        assert {r["k"]: r["v"] for r in t.read().collect()}[4] == 40
+
+        # incompatible change raises before any union coercion can corrupt
+        bad = batch([(5, 50)], "long", "double", 30) \
+            .withColumn("v", F.col("v").cast("string"))
+        with pytest.raises(ValueError, match="incompatible type change"):
+            t.merge(bad, batch_id=3)
+
+
+class TestRebucket:
+    def test_rebucket_preserves_state_and_future_merges_converge(
+            self, spark, tmpdir_path):
+        """Bucket-count evolution: state/tombstones/lease identical across the
+        rewrite, time travel keeps the OLD count, lookups and further MERGEs
+        use the new one, and a rebucketed table converges with an
+        un-rebucketed twin fed the same stream."""
+        full = gen_changelog(spark, 3000, seed=21, n_repos=15, paths_per_repo=6)
+        b1, b2, b3 = (full.filter(F.col("seq") < 1500),
+                      full.filter((F.col("seq") >= 1500) & (F.col("seq") < 2400)),
+                      full.filter(F.col("seq") >= 2400))
+
+        pipe, _ = _pipe(spark, tmpdir_path, "re")
+        twin, _ = _pipe(spark, tmpdir_path, "twin")
+        for p in (pipe, twin):
+            p.apply_batch(b1, batch_id=0)
+            p.apply_batch(b2, batch_id=1)
+
+        t = pipe.table
+        before = _state(t)
+        tomb = lambda tab: tab.read(include_deleted=True) \
+            .filter(F.col("_last_op") == "delete").count()
+        tomb_before, lease_before = tomb(t), dict(t.manifest().lease)
+        v_before = t.manifest().version
+
+        r = t.rebucket(32)
+        assert r["rebucketed"] and t.manifest().n_buckets == 32
+        assert _state(t).equals(before), "live state must survive rebucket"
+        assert tomb(t) == tomb_before, "tombstones must survive rebucket"
+        assert t.manifest().lease == lease_before, "rebucket must not move the cursor"
+        # time travel: the old snapshot keeps its old bucket count and state
+        assert t.manifest(v_before).n_buckets == 8
+        assert (t.read(version=v_before).select("repo", "path", "content_sha256",
+                                                "_last_seq")
+                .orderBy("repo", "path").toPandas().equals(before))
+        # point lookup resolves the bucket from the NEW manifest
+        row = t.read().orderBy("repo", "path").first()
+        hit = t.lookup({"repo": row["repo"], "path": row["path"]}).collect()
+        assert len(hit) == 1 and hit[0]["content_sha256"] == row["content_sha256"]
+
+        # further merges use the new count and converge with the twin
+        pipe.apply_batch(b3, batch_id=2)
+        assert t.manifest().lease["metrics"]["buckets_total"] == 32
+        twin.apply_batch(b3, batch_id=2)
+        s1, s2 = _state(t), _state(twin.table)
+        assert list(s1["content_sha256"]) == list(s2["content_sha256"])
+        assert list(s1["_last_seq"]) == list(s2["_last_seq"])
+
+    def test_rebucket_noop_and_validation(self, spark, tmpdir_path):
+        pipe, _ = _pipe(spark, tmpdir_path)
+        pipe.apply_batch(gen_changelog(spark, 300, seed=22), batch_id=0)
+        t = pipe.table
+        v = t.manifest().version
+        assert t.rebucket(8) == {"rebucketed": False, "version": v, "n_buckets": 8}
+        with pytest.raises(ValueError, match="new_n_buckets > 0"):
+            t.rebucket(0)
+
 
 class TestSkew:
     def test_salted_equals_unsalted(self, spark, tmpdir_path):
