@@ -583,7 +583,16 @@ class LakeTable:
                     "metrics": metrics}
         affected = {int(r["_bucket"]) for r in agg}
         batch_rows = sum(r["n"] for r in agg)
+        # monotone high watermark: micro-batches are not seq-contiguous (file
+        # batching / DLQ replay), and a batch of older seqs must not regress
+        # the resume cursor — re-reading from a regressed token is safe
+        # (idempotent MERGE) but wasteful. Incremental consumers that must see
+        # out-of-order changes use snapshot_diff (version-based), not the
+        # seq-watermark feed.
         max_seq = max(r["max_seq"] for r in agg)
+        parent_ms = m.lease.get("metrics", {}).get("max_seq")
+        if parent_ms is not None:
+            max_seq = max(int(max_seq), int(parent_ms))
 
         # 2) existing rows in affected buckets only (bucket-pruned snapshot scan),
         #    INCLUDING tombstones — a stored delete must keep outranking older seqs.

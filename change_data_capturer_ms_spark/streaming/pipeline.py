@@ -220,6 +220,74 @@ class CDCPipeline:
             )
         return result
 
+    # -- DLQ replay ------------------------------------------------------------
+
+    def replay_quarantine(self, fix=None, replay_id: int | str = 0) -> dict:
+        """Replay the DLQ: re-validate quarantined rows — after an optional
+        repair transform `fix(df) -> df` over the original batch columns —
+        and MERGE the now-valid ones; rows that still fail validation remain
+        quarantined. The retry half of the reference's per-message failure
+        aggregation (/root/reference/src/queue/eventhub/utils.ts:55-69),
+        applied on the ingest side.
+
+        Exactly-once + crash safety, in commit order:
+          1. the surviving (still-invalid) rows are STAGED to a sibling tmp
+             dir — nothing destructive yet;
+          2. the repaired rows merge under batch_id `dlq-replay-{replay_id}`
+             through the table ledger — a crashed or re-run replay never
+             double-applies, and the resume cursor cannot regress (the lake's
+             max_seq watermark is monotone);
+          3. only after the commit does the staged generation swap in; a
+             crash mid-swap is healed on the next call (tmp preferred, else
+             the renamed-away old dir is restored).
+        """
+        if not self.quarantine_dir:
+            raise ValueError("replay_quarantine: pipeline has no quarantine_dir")
+        import shutil
+
+        qdir = self.quarantine_dir
+        tmp, old = qdir + ".replay.tmp", qdir + ".replay.old"
+        if not os.path.exists(qdir):
+            # heal an interrupted swap: the staged generation wins if it was
+            # fully written (step 3 got past the rename-away), else restore
+            if os.path.exists(tmp):
+                os.rename(tmp, qdir)
+            elif os.path.exists(old):
+                os.rename(old, qdir)
+            else:
+                return {"replayed": 0, "still_quarantined": 0}
+        from change_data_capturer_ms_spark.functions.validate import validate_batch
+
+        q = self.spark.read.parquet(qdir).drop("_reasons", "_batch_id")
+        cand = fix(q) if fix is not None else q
+        valid, still_bad = validate_batch(cand)
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        (still_bad.withColumn("_batch_id", F.lit(f"dlq-replay-{replay_id}"))
+         .write.mode("overwrite").parquet(tmp))
+        n_bad = self.spark.read.parquet(tmp).count()
+
+        prepared = prepare_batch(valid, self.cfg, self.use_pandas_udfs,
+                                 flatten_props=self.flatten_props)
+        if not self.table.exists():
+            from pyspark.sql import types as T
+            payload = [f for f in prepared.schema.fields if f.name not in ("seq", "op")]
+            self.table.create(T.StructType(payload))
+        result = self.table.merge(
+            prepared, seq_col="seq", op_col="op",
+            batch_id=f"dlq-replay-{replay_id}", source_id=self.source_id,
+            tiebreakers=["token"],
+        )
+        if not result.get("skipped"):
+            self._write_lease(self.table.lease())
+
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(qdir, old)
+        os.rename(tmp, qdir)
+        shutil.rmtree(old, ignore_errors=True)
+        return {"replayed": int(result.get("metrics", {}).get("rows", 0)),
+                "still_quarantined": int(n_bad), "merge": result}
+
     # -- run ------------------------------------------------------------------
 
     def run_stream(

@@ -153,6 +153,51 @@ def test_pipeline_quarantine_dir(spark, tmpdir_path):
     assert table.read().filter(F.col("repo").isNull()).count() == 0
 
 
+def test_replay_quarantine_merges_fixed_rows_exactly_once(spark, tmpdir_path):
+    """DLQ replay: a repair transform rescues fixable rows into the table,
+    unfixable rows stay quarantined, a re-run is a ledger no-op, and the
+    resume cursor never regresses to the replayed (older) seqs."""
+    from change_data_capturer_ms_spark.config import EngineConfig
+    from change_data_capturer_ms_spark.lake.table import LakeTable
+    from change_data_capturer_ms_spark.sources import gen_changelog
+    from change_data_capturer_ms_spark.streaming import CDCPipeline
+    from pyspark.sql import functions as F
+
+    good = gen_changelog(spark, 500, seed=19, n_repos=5, paths_per_repo=3)
+    # two failure kinds: null repo (repairable) and a bogus op (not repairable)
+    fixable = (good.filter(F.col("seq") < 8)
+               .withColumn("repo", F.lit(None).cast("string")))
+    hopeless = (good.filter((F.col("seq") >= 8) & (F.col("seq") < 12))
+                .withColumn("op", F.lit("upsert-typo")))
+    table = LakeTable(spark, f"{tmpdir_path}/t", key_cols=["repo", "path"], n_buckets=4)
+    pipe = CDCPipeline(spark, f"{tmpdir_path}/l", table, f"{tmpdir_path}/c",
+                       cfg=EngineConfig(n_buckets=4), use_pandas_udfs=False,
+                       quarantine_dir=f"{tmpdir_path}/dlq")
+    pipe.apply_batch(
+        good.filter(F.col("seq") >= 12).unionByName(fixable).unionByName(hopeless),
+        batch_id=0)
+    lease_before = pipe.current_lease()["lease"]
+    assert spark.read.parquet(f"{tmpdir_path}/dlq").count() == 12
+
+    def fix(df):  # backfill the dropped repo from a sibling column
+        return df.withColumn("repo", F.coalesce(F.col("repo"), F.lit("repo_0")))
+
+    r = pipe.replay_quarantine(fix=fix, replay_id=1)
+    assert r["replayed"] == 8 and r["still_quarantined"] == 4
+    # repaired rows are live under the backfilled key; cursor did not regress
+    assert table.read().filter(F.col("repo").isNull()).count() == 0
+    assert pipe.current_lease()["lease"] == lease_before
+    dlq = spark.read.parquet(f"{tmpdir_path}/dlq")
+    assert dlq.count() == 4
+    assert dlq.filter(F.array_contains("_reasons", "bad_op:upsert-typo")).count() == 4
+
+    # same replay_id again: ledger no-op, nothing double-applies
+    state = table.read().count()
+    r2 = pipe.replay_quarantine(fix=fix, replay_id=1)
+    assert r2["replayed"] == 0 and r2["merge"]["skipped"]
+    assert table.read().count() == state
+
+
 def test_xxh64_driver_side_parity(spark):
     """Driver-side xxhash64 port must agree with the JVM expression for every
     supported type, chaining, nulls and unicode — lookup() buckets depend on it."""
