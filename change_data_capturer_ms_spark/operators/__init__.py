@@ -74,6 +74,7 @@ from change_data_capturer_ms_spark.operators.drift import (
     category_freq,
     histogram,
     psi,
+    psi_from_counts,
     psi_terms,
 )
 from change_data_capturer_ms_spark.operators.multimodal import (
@@ -99,6 +100,6 @@ __all__ = [
     "agg_deltas_from_diff", "agg_state", "apply_agg_deltas",
     "distinct_counts", "hll_state", "hll_deltas_from_diff",
     "apply_hll_deltas", "hll_estimates",
-    "histogram", "category_freq", "psi", "psi_terms",
+    "histogram", "category_freq", "psi", "psi_terms", "psi_from_counts",
     "melt", "pivot_counts",
 ]

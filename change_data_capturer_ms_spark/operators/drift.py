@@ -104,6 +104,25 @@ def psi(old: DataFrame, new: DataFrame, col: str, bins: int = 10,
         .agg(F.sum("psi_term")).first()[0] or 0.0
 
 
+def psi_from_counts(old: dict, new: dict, eps: float = _EPS) -> float:
+    """Pure-Python PSI between two `{category: count}` dicts.
+
+    For drift alerts over per-batch monitor counts ALREADY collected into
+    lease metrics (`CDCPipeline(monitor_cols=...)`) — the score costs zero
+    Spark jobs because the O(top_k) counts were folded during the batch's
+    own planning pass. Same epsilon-floor convention as the DataFrame path."""
+    import math
+
+    tot_o = max(sum(old.values()), 1)
+    tot_n = max(sum(new.values()), 1)
+    s = 0.0
+    for k in set(old) | set(new):
+        p = max(old.get(k, 0) / tot_o, eps)
+        q = max(new.get(k, 0) / tot_n, eps)
+        s += (q - p) * math.log(q / p)
+    return s
+
+
 def psi_terms(old: DataFrame, new: DataFrame, col: str, bins: int = 10,
               lo: float | None = None, hi: float | None = None,
               categorical: bool = False) -> DataFrame:

@@ -89,6 +89,8 @@ class CDCPipeline:
         flatten_props: bool = False,
         quarantine_dir: str | None = None,
         queue_sink=None,
+        monitor_cols: list[str] | None = None,
+        monitor_top_k: int = 20,
     ):
         self.spark = spark
         self.reader = ChangeLogReader(spark, log_path)
@@ -104,6 +106,13 @@ class CDCPipeline:
         # src/factory/service.ts + src/queue/*): each applied micro-batch is also
         # produced as JSON envelopes, idempotent on (source_id, batch_id)
         self.queue_sink = queue_sink
+        # per-batch distribution monitor: top-K category counts of each listed
+        # column ride the inspectable lease, so drift scoring over batches
+        # (operators/drift.py psi_from_counts) costs zero further Spark jobs.
+        # One extra column-pruned scan + map-side-combined groupBy + top-K per
+        # column per batch — opt in for low-cardinality columns (lang, op).
+        self.monitor_cols = list(monitor_cols or [])
+        self.monitor_top_k = monitor_top_k
         self.lease_dir = os.path.join(table.path, "_lease")
 
     # -- lease (inspectable resume state) ------------------------------------
@@ -136,6 +145,37 @@ class CDCPipeline:
         except (json.JSONDecodeError, OSError, UnicodeDecodeError):
             return None
         return payload if isinstance(payload, dict) else None
+
+    def monitor_drift(self, col: str) -> list[dict]:
+        """PSI of `col`'s captured-batch mix between consecutive committed
+        batches, computed from the lease history files alone — zero Spark
+        jobs (the counts were folded during each batch's own commit; enable
+        with `monitor_cols=[col]`). Returns `[{batch_id, psi}]` in commit
+        order; alert on the conventional psi > 0.2 threshold."""
+        import glob as _glob
+
+        from change_data_capturer_ms_spark.operators.drift import psi_from_counts
+
+        files = sorted(
+            _glob.glob(os.path.join(self.lease_dir, "batch_*.json")),
+            key=os.path.getmtime,
+        )
+        out: list[dict] = []
+        prev = None
+        for p in files:
+            try:
+                with open(p) as f:
+                    payload = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                continue  # decode-or-skip, same posture as current_lease
+            cur = (payload.get("monitor") or {}).get(col)
+            if cur is None:
+                continue
+            if prev is not None:
+                out.append({"batch_id": payload.get("batch_id"),
+                            "psi": psi_from_counts(prev, cur)})
+            prev = cur
+        return out
 
     # -- apply ----------------------------------------------------------------
 
@@ -209,6 +249,24 @@ class CDCPipeline:
         )
         if not result.get("skipped"):
             lease = self.table.lease()
+            if self.monitor_cols:
+                captured = batch_df.filter(F.col("op").isin(*self.cfg.captured_ops))
+                monitor = {}
+                for c in self.monitor_cols:
+                    # bounded: top-K by count, deterministic tiebreak on value;
+                    # the scan prunes to the single monitored column
+                    rows = (
+                        captured.groupBy(c)
+                        .agg(F.count(F.lit(1)).alias("n"))
+                        .orderBy(F.desc("n"), F.col(c))
+                        .limit(self.monitor_top_k)
+                        .collect()
+                    )
+                    monitor[c] = {
+                        ("<null>" if r[c] is None else str(r[c])): int(r["n"])
+                        for r in rows
+                    }
+                lease["monitor"] = monitor
             self._write_lease(lease)
         if self.queue_sink is not None:
             # produce the RAW captured rows (the reference queues the change

@@ -110,3 +110,45 @@ class TestPSI:
         df = spark.createDataFrame([Row(lang="py"), Row(lang="py"), Row(lang=None)])
         got = {r["cat"]: r["n"] for r in category_freq(df, "lang").collect()}
         assert got == {"py": 2, None: 1}
+
+
+class TestMonitor:
+    def test_psi_from_counts_matches_dataframe_path(self, spark):
+        from change_data_capturer_ms_spark.operators import psi_from_counts
+
+        old = {"py": 50, "go": 50}
+        new = {"py": 30, "go": 30, "rs": 40}
+        assert psi_from_counts(old, old) == pytest.approx(0.0)
+        old_df = spark.createDataFrame(
+            [Row(lang=k) for k, n in old.items() for _ in range(n)])
+        new_df = spark.createDataFrame(
+            [Row(lang=k) for k, n in new.items() for _ in range(n)])
+        assert psi_from_counts(old, new) == pytest.approx(
+            psi(old_df, new_df, "lang", categorical=True), rel=1e-9)
+
+    def test_pipeline_monitor_records_counts_and_scores_drift(
+            self, spark, tmpdir_path):
+        """Opt-in monitor: per-batch top-K lang counts ride the lease; a
+        batch that shifts the mix scores PSI > 0.2 with no further Spark
+        jobs (monitor_drift reads lease history only)."""
+        from change_data_capturer_ms_spark.config import EngineConfig
+        from change_data_capturer_ms_spark.lake.table import LakeTable
+        from change_data_capturer_ms_spark.sources import gen_changelog
+        from change_data_capturer_ms_spark.streaming import CDCPipeline
+
+        table = LakeTable(spark, f"{tmpdir_path}/t", key_cols=["repo", "path"],
+                          n_buckets=4)
+        pipe = CDCPipeline(spark, f"{tmpdir_path}/l", table, f"{tmpdir_path}/c",
+                           cfg=EngineConfig(n_buckets=4), use_pandas_udfs=False,
+                           monitor_cols=["lang"])
+        b1 = gen_changelog(spark, 600, seed=30, n_repos=6, paths_per_repo=4)
+        b2 = (gen_changelog(spark, 600, seed=31, n_repos=6, paths_per_repo=4,
+                            start_seq=600)
+              .withColumn("lang", F.lit("zz")))  # sudden single-language mix
+        pipe.apply_batch(b1, batch_id=0)
+        assert "lang" in pipe.current_lease()["monitor"]
+        pipe.apply_batch(b2, batch_id=1)
+        assert pipe.current_lease()["monitor"]["lang"] == {"zz": 600}
+
+        scores = pipe.monitor_drift("lang")
+        assert len(scores) == 1 and scores[0]["psi"] > 0.2
