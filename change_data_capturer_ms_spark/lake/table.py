@@ -777,6 +777,80 @@ class LakeTable:
                 "files_before": sum(len(v) for v in victims.values()),
                 "files_after": len(new_files)}
 
+    def stats(self, version: int | None = None, top_n: int = 10) -> dict:
+        """Layout health from the manifest alone — ZERO Spark jobs (at 100 TB
+        a stats call must not schedule a scan). Drives the maintenance
+        decisions: `multi_file_buckets`→compact, `bucket_skew`→key salting or
+        rebucket, `avg_bucket_bytes` vs executor memory→rebucket count.
+
+        Returns bounded output regardless of table size: aggregates plus the
+        `top_n` heaviest buckets (never the full per-bucket map — at the
+        100 TB config that is O(10^4-10^5) entries).
+        """
+        m = self.manifest(version)
+        rows_b: dict[int, int] = {}
+        bytes_b: dict[int, int] = {}
+        files_b: dict[int, int] = {}
+        for f in m.files:
+            rows_b[f.bucket] = rows_b.get(f.bucket, 0) + f.rows
+            bytes_b[f.bucket] = bytes_b.get(f.bucket, 0) + f.bytes
+            files_b[f.bucket] = files_b.get(f.bucket, 0) + 1
+        n_used = len(files_b)
+        total_rows = sum(rows_b.values())
+        total_bytes = sum(bytes_b.values())
+        avg_rows = total_rows / n_used if n_used else 0.0
+        max_rows = max(rows_b.values(), default=0)
+        heaviest = sorted(rows_b, key=lambda b: (-rows_b[b], b))[:top_n]
+        return {
+            "version": m.version,
+            "write_mode": m.write_mode,
+            "n_buckets": m.n_buckets,
+            "buckets_used": n_used,
+            "files": len(m.files),
+            "rows": total_rows,
+            "bytes": total_bytes,
+            "avg_bucket_rows": avg_rows,
+            "avg_bucket_bytes": total_bytes / n_used if n_used else 0.0,
+            "max_bucket_rows": max_rows,
+            # >1 under hash bucketing means a hot KEY (hash spreads hot
+            # repos; only one key hashing huge can skew a bucket) — the
+            # signal for salting or a finer bucket count
+            "bucket_skew": (max_rows / avg_rows) if avg_rows else 0.0,
+            "multi_file_buckets": sum(1 for n in files_b.values() if n > 1),
+            "top_buckets": [
+                {"bucket": b, "rows": rows_b[b], "bytes": bytes_b[b],
+                 "files": files_b[b]} for b in heaviest
+            ],
+        }
+
+    def optimize(self, target_file_bytes: int = 128 * 1024 * 1024,
+                 expire_below_seq: int | None = None,
+                 keep_snapshots: int | None = None,
+                 sort_cols: list[str] | None = None,
+                 zorder_cols: list[str] | None = None) -> dict:
+        """One-call maintenance pass (Iceberg's rewrite_data_files +
+        expire_snapshots housekeeping as a single policy step): compact
+        multi-file buckets, then optionally expire tombstones below the
+        source low-watermark, then optionally expire old snapshots.
+
+        Ordering matters and is fixed: compaction FIRST so merge-on-read
+        buckets become single-file and thus eligible for tombstone expiry
+        (expire_tombstones skips multi-file mor buckets by design); snapshot
+        expiry LAST so the versions the earlier steps replaced age out in
+        the same pass. Each step is its own atomic commit — a crash between
+        steps leaves a consistent table, and the next optimize() resumes the
+        remainder.
+        """
+        report: dict = {"compact": self.compact(
+            target_file_bytes=target_file_bytes,
+            sort_cols=sort_cols, zorder_cols=zorder_cols)}
+        if expire_below_seq is not None:
+            report["expire_tombstones"] = self.expire_tombstones(expire_below_seq)
+        if keep_snapshots is not None:
+            report["expire_snapshots"] = self.expire_snapshots(keep_snapshots)
+        report["stats"] = self.stats()
+        return report
+
     def rebucket(self, new_n_buckets: int) -> dict:
         """Bucket-count evolution: rewrite the table once under a new hash-bucket
         count (Iceberg partition-spec evolution for the bucket transform,

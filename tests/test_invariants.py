@@ -562,6 +562,35 @@ class TestMaintenance:
                              t.column("path").to_pylist()))
             assert pairs == sorted(pairs)
 
+    def test_stats_and_optimize_one_call_maintenance(self, spark, tmpdir_path):
+        """stats() is manifest-only layout health (bounded output, no scan);
+        optimize() chains compact → tombstone expiry → snapshot expiry with
+        state preserved (mor deltas fold, so expiry becomes eligible)."""
+        pipe, _ = _pipe(spark, tmpdir_path, write_mode="mor")
+        full = gen_changelog(spark, 2000, seed=24, n_repos=10, paths_per_repo=5)
+        pipe.apply_batch(full.filter(F.col("seq") < 1000), batch_id=0)
+        pipe.apply_batch(full.filter(F.col("seq") >= 1000), batch_id=1)
+        t = pipe.table
+
+        s = t.stats(top_n=5)
+        assert s["rows"] > 0 and s["files"] >= s["buckets_used"]
+        assert s["multi_file_buckets"] > 0  # mor delta files present
+        assert len(s["top_buckets"]) <= 5 and s["bucket_skew"] >= 1.0
+        assert s["write_mode"] == "mor" and s["n_buckets"] == 8
+
+        before = _state(t)
+        tomb_before = t.read(include_deleted=True) \
+            .filter(F.col("_last_op") == "delete").count()
+        assert tomb_before > 0, "fixture must leave tombstones"
+        rep = t.optimize(expire_below_seq=2000, keep_snapshots=2)
+        assert rep["compact"]["compacted_buckets"] > 0
+        assert rep["stats"]["multi_file_buckets"] == 0
+        assert rep["expire_tombstones"].get("expired_buckets", 0) > 0
+        assert _state(t).equals(before), "live state must survive optimize"
+        assert t.read(include_deleted=True) \
+            .filter(F.col("_last_op") == "delete").count() == 0
+        assert t.read().count() == len(before)  # current snapshot readable
+
     def test_expire_snapshots_keeps_current_readable(self, spark, tmpdir_path):
         pipe, log_dir = _pipe(spark, tmpdir_path)
         for i in range(3):
