@@ -4,6 +4,7 @@ from change_data_capturer_ms_spark.sources.changelog import (
     gen_changelog,
     write_changelog,
 )
+from change_data_capturer_ms_spark.sources.snapshot_cdc import snapshot_to_changelog
 from change_data_capturer_ms_spark.sources.registry import (
     create_source,
     create_sink,
@@ -16,6 +17,7 @@ __all__ = [
     "ChangeLogReader",
     "gen_changelog",
     "write_changelog",
+    "snapshot_to_changelog",
     "create_source",
     "create_sink",
     "register_source",
