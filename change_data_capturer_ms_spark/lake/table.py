@@ -125,6 +125,49 @@ def widen_type(old: T.DataType, new: T.DataType) -> T.DataType | None:
     return None
 
 
+def _evolved_schema(
+    old_schema: T.StructType, schema_version: int,
+    batch_schema: T.StructType, payload_cols: list[str],
+) -> tuple[T.StructType, int]:
+    """Schema evolution shared by merge()/merge_into(): additive — new payload
+    columns extend the manifest schema (old files read back NULL-filled) — and
+    widening — an existing column arriving with a wider compatible type widens
+    the schema in place (old narrow files upcast on read, no rewrite). An
+    incompatible type change raises HERE, before UNION/CASE coercion can
+    silently rewrite the column. Meta columns always stay last."""
+    new_fields = [
+        f for f in batch_schema.fields
+        if f.name in payload_cols and f.name not in old_schema.fieldNames()
+    ]
+    widened: dict[str, T.DataType] = {}
+    for f in batch_schema.fields:
+        if f.name not in payload_cols or f.name not in old_schema.fieldNames():
+            continue
+        old_t = old_schema[f.name].dataType
+        if f.dataType == old_t:
+            continue
+        w = widen_type(old_t, f.dataType)
+        if w is None:
+            raise ValueError(
+                f"schema evolution: column {f.name!r} incompatible type "
+                f"change {old_t.simpleString()} -> {f.dataType.simpleString()}"
+                " (legal: int widths, float->double, decimal precision"
+                " growth at the same scale)")
+        if w != old_t:
+            widened[f.name] = w
+    if not new_fields and not widened:
+        return old_schema, schema_version
+    meta_names = (SEQ_META_COL, OP_META_COL)
+    fields = [
+        T.StructField(f.name, widened.get(f.name, f.dataType), True)
+        for f in old_schema.fields if f.name not in meta_names
+    ]
+    fields += [T.StructField(f.name, f.dataType, True) for f in new_fields]
+    fields.append(T.StructField(SEQ_META_COL, T.LongType(), True))
+    fields.append(T.StructField(OP_META_COL, T.StringType(), True))
+    return T.StructType(fields), schema_version + 1
+
+
 def bucket_expr(key_cols: list[str], n_buckets: int):
     """Deterministic bucket id — pure function of the key (never random), so dedupe
     and co-location survive any repartitioning (SURVEY.md §7.3 salting note)."""
@@ -506,44 +549,8 @@ class LakeTable:
         n_buckets = m.n_buckets
         old_schema = m.schema
         payload_cols = [c for c in batch.columns if c not in (seq_col, op_col)]
-        # additive schema evolution: new payload columns extend the schema
-        new_fields = [
-            f for f in batch.schema.fields
-            if f.name in payload_cols and f.name not in old_schema.fieldNames()
-        ]
-        # widening evolution: an existing column arriving with a wider
-        # compatible type widens the manifest schema (old narrow files are
-        # read back upcast — no rewrite); an incompatible change must raise
-        # HERE, before UNION's implicit coercion silently rewrites the column
-        widened: dict[str, T.DataType] = {}
-        for f in batch.schema.fields:
-            if f.name not in payload_cols or f.name not in old_schema.fieldNames():
-                continue
-            old_t = old_schema[f.name].dataType
-            if f.dataType == old_t:
-                continue
-            w = widen_type(old_t, f.dataType)
-            if w is None:
-                raise ValueError(
-                    f"schema evolution: column {f.name!r} incompatible type "
-                    f"change {old_t.simpleString()} -> {f.dataType.simpleString()}"
-                    " (legal: int widths, float->double, decimal precision"
-                    " growth at the same scale)")
-            if w != old_t:
-                widened[f.name] = w
-        schema = old_schema
-        schema_version = m.schema_version
-        if new_fields or widened:
-            meta_names = (SEQ_META_COL, OP_META_COL)
-            fields = [
-                T.StructField(f.name, widened.get(f.name, f.dataType), True)
-                for f in old_schema.fields if f.name not in meta_names
-            ]
-            fields += [T.StructField(f.name, f.dataType, True) for f in new_fields]
-            fields.append(T.StructField(SEQ_META_COL, T.LongType(), True))
-            fields.append(T.StructField(OP_META_COL, T.StringType(), True))
-            schema = T.StructType(fields)
-            schema_version += 1
+        schema, schema_version = _evolved_schema(old_schema, m.schema_version,
+                                                 batch.schema, payload_cols)
         out_cols = [f.name for f in schema.fields]
 
         # 1) cheap planning job: affected buckets + input metrics from the RAW
@@ -682,6 +689,219 @@ class LakeTable:
         }
         self._commit(m, carried + new_files, schema, schema_version, ledger_key,
                      source_id, batch_id, lease_token, metrics, lineage)
+        return {"skipped": False, "version": m.version + 1, "batch_id": batch_id,
+                "metrics": metrics}
+
+    def merge_into(
+        self,
+        source: DataFrame,
+        when_matched_update: str | dict | None = "all",
+        matched_update_condition=None,
+        when_matched_delete=None,
+        when_not_matched_insert: dict | bool | None = True,
+        not_matched_insert_condition=None,
+        batch_id: int | str = 0,
+        source_id: str = "merge-into",
+        seq: int | None = None,
+        validate_source_unique: bool = True,
+    ) -> dict:
+        """Generic clause-based MERGE INTO (Delta/Iceberg `MERGE INTO t USING s`
+        parity) — arbitrary update expressions over both sides, conditional
+        deletes, conditional inserts — on top of the same bucket layout,
+        exactly-once ledger and atomic snapshot commit as the CDC `merge`.
+
+        The join is ALWAYS on the table's key columns: source rows hash to the
+        same buckets as their targets (`bucket_expr` is a pure key function),
+        so the merge touches only the source's buckets and the join shuffles
+        both sides on the partitioning the table already uses. A general ON
+        clause would force a full-table join — deliberately unsupported.
+
+        Clauses (fixed evaluation order per row, like Delta's clause list):
+          1. matched + `when_matched_delete` condition  -> tombstone the row
+          2. matched + `matched_update_condition`       -> apply the update
+          3. not matched + insert condition             -> insert
+          4. otherwise                                  -> carry unchanged
+        "Matched" means a LIVE target row exists; a tombstoned key counts as
+        not-matched, so an insert resurrects it explicitly (and wins, because
+        this commit's seq exceeds the tombstone's).
+
+        - `when_matched_update`: "all" (set every source payload column),
+          a {target_col: Column} dict of expressions, or None (no update
+          clause). Expressions may reference both sides via the `t.`/`s.`
+          aliases (key columns are unqualified — the join coalesces them).
+        - `when_matched_delete`: a Column condition, True (always), or None.
+        - `when_not_matched_insert`: True (insert the source row), a
+          {target_col: Column} dict (unlisted columns NULL), or None.
+        - `seq`: the `_last_seq` stamped on every changed row — defaults to
+          parent max_seq + 1 and MUST exceed the parent watermark so
+          `read_incremental` consumers see exactly this commit's changes.
+        - `validate_source_unique`: one bounded extra aggregation proving no
+          key occurs twice in the source (two source rows matching one target
+          make the merge ambiguous — same error Delta raises). Disable only
+          when the source is already key-unique by construction.
+
+        Scale shape: one planning aggregation (O(n_buckets) rows collected),
+        one key-partitioned join over ONLY the affected buckets, zero UDFs;
+        under write_mode='mor' only the rows an action touched are appended
+        as delta files (write cost O(changed)), under 'cow' the affected
+        buckets rewrite. Reference anchor: the reference's apply side stops at
+        queue produce (src/queue/eventhub/utils.ts:91-98); this is lake-side
+        API surface the north_rule's "lake upsert" requires beyond CDC LWW.
+        """
+        if (when_matched_update is None and when_matched_delete is None
+                and not when_not_matched_insert):
+            raise ValueError("merge_into: at least one clause is required")
+        if isinstance(when_matched_update, str) and when_matched_update != "all":
+            raise ValueError("when_matched_update: expected 'all', a dict, or None")
+        m = self.manifest()
+        ledger_key = f"{source_id}:{batch_id}"
+        if m.is_committed(source_id, batch_id):
+            return {"skipped": True, "version": m.version, "batch_id": batch_id}
+        keys = m.key_cols
+        missing = [k for k in keys if k not in source.columns]
+        if missing:
+            raise ValueError(f"merge_into: source lacks key columns {missing}")
+        src_payload = [c for c in source.columns if c not in keys]
+        schema, schema_version = _evolved_schema(
+            m.schema, m.schema_version, source.schema, src_payload)
+        parent_ms = m.lease.get("metrics", {}).get("max_seq")
+        parent_ms = -1 if parent_ms is None else int(parent_ms)
+        seq_val = parent_ms + 1 if seq is None else int(seq)
+        if seq_val <= parent_ms:
+            raise ValueError(
+                f"merge_into: seq {seq_val} must exceed the table watermark "
+                f"{parent_ms} (monotone incremental feed)")
+
+        # planning job: affected buckets (+ key-uniqueness proof in the same
+        # pass when requested) — output bounded by n_buckets rows
+        if validate_source_unique:
+            per_key = source.groupBy(*keys).agg(F.count(F.lit(1)).alias("_cnt"))
+            agg = (
+                per_key.withColumn("_bucket", bucket_expr(keys, m.n_buckets))
+                .groupBy("_bucket")
+                .agg(F.sum("_cnt").alias("n"), F.max("_cnt").alias("max_dup"))
+                .collect()
+            )
+            if any(r["max_dup"] > 1 for r in agg):
+                raise ValueError(
+                    "merge_into: source has multiple rows per key — the merge "
+                    "is ambiguous; pre-aggregate (e.g. lww_dedupe) first")
+        else:
+            agg = (
+                source.select(*keys)
+                .withColumn("_bucket", bucket_expr(keys, m.n_buckets))
+                .groupBy("_bucket").agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+        if not agg:
+            metrics = {"rows": 0, "upserts": 0, "deletes": 0, "max_seq": parent_ms}
+            self._commit(m, m.files, schema, schema_version, ledger_key,
+                         source_id, batch_id, None, metrics, None)
+            return {"skipped": False, "version": m.version + 1,
+                    "batch_id": batch_id, "metrics": metrics}
+        affected = {int(r["_bucket"]) for r in agg}
+
+        existing = self.read(buckets=affected, include_deleted=True)
+        t = existing.withColumn("_t", F.lit(1)).alias("t")
+        s = source.withColumn("_s", F.lit(1)).alias("s")
+        joined = t.join(s, keys, "full_outer")
+        t_here = F.col("_t").isNotNull()
+        t_live = t_here & ~F.col(f"t.{OP_META_COL}").eqNullSafe("delete")
+        matched = t_live & F.col("_s").isNotNull()
+        unmatched_src = F.col("_s").isNotNull() & ~t_live
+
+        action = None
+
+        def _clause(cond, name):
+            nonlocal action
+            action = F.when(cond, name) if action is None else action.when(cond, name)
+
+        if when_matched_delete is not None:
+            dc = F.lit(True) if when_matched_delete is True else when_matched_delete
+            _clause(matched & dc, "delete")
+        if when_matched_update is not None:
+            uc = (F.lit(True) if matched_update_condition is None
+                  else matched_update_condition)
+            _clause(matched & uc, "update")
+        if when_not_matched_insert:
+            ic = (F.lit(True) if not_matched_insert_condition is None
+                  else not_matched_insert_condition)
+            _clause(unmatched_src & ic, "insert")
+        action = action.when(t_here, "carry")  # else NULL: source-only, no insert
+        joined = joined.withColumn("_action", action).filter(
+            F.col("_action").isNotNull())
+
+        upd = dict(when_matched_update) if isinstance(when_matched_update, dict) else {}
+        ins = (dict(when_not_matched_insert)
+               if isinstance(when_not_matched_insert, dict) else {})
+        bad = [c for c in (*upd, *ins) if c in keys]
+        if bad:
+            raise ValueError(
+                f"merge_into: key columns {bad} cannot be set — a key change "
+                "is a delete + insert (row identity is the bucket function)")
+        meta = {SEQ_META_COL, OP_META_COL}
+        act = F.col("_action")
+
+        def _value(c: str):
+            old = (F.col(f"t.{c}") if c in existing.columns
+                   else F.lit(None))  # brand-new evolved column
+            if when_matched_update == "all":
+                upd_e = F.col(f"s.{c}") if c in src_payload else old
+            else:
+                upd_e = upd.get(c, old)
+            if when_not_matched_insert is True:
+                ins_e = F.col(f"s.{c}") if c in src_payload else F.lit(None)
+            else:
+                ins_e = ins.get(c, F.lit(None))
+            return (
+                F.when(act == "update", upd_e)
+                .when(act == "insert", ins_e)
+                .otherwise(old)  # delete/carry keep the old payload
+                .cast(schema[c].dataType).alias(c)
+            )
+
+        out = joined.select(
+            *keys,  # coalesced join keys
+            *[_value(f.name) for f in schema.fields
+              if f.name not in meta and f.name not in keys],
+            F.when(act == "carry", F.col(f"t.{SEQ_META_COL}"))
+             .otherwise(F.lit(seq_val)).cast("long").alias(SEQ_META_COL),
+            F.when(act == "carry", F.col(f"t.{OP_META_COL}"))
+             .otherwise(act).alias(OP_META_COL),
+            act.alias("_action"),
+        )
+        mor = m.write_mode == "mor"
+        if mor:
+            out = out.filter(F.col("_action") != "carry")  # deltas: O(changed)
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        out = out.observe(
+            obs,
+            *[F.sum((F.col("_action") == a).cast("long")).alias(a + "s")
+              for a in ("insert", "update", "delete")],
+        )
+        final = out.drop("_action").select(*[f.name for f in schema.fields])
+        new_files = self._write_buckets(final, keys, m.n_buckets, m.version + 1,
+                                        len(affected), bloom_cols=m.bloom_cols)
+        carried = (list(m.files) if mor
+                   else [f for f in m.files if f.bucket not in affected])
+        got = obs.get
+        inserts = int(got.get("inserts") or 0)
+        updates = int(got.get("updates") or 0)
+        deletes = int(got.get("deletes") or 0)
+        metrics = {
+            "rows": int(sum(r["n"] for r in agg)),
+            "upserts": inserts + updates,
+            "inserts": inserts,
+            "updates": updates,
+            "deletes": deletes,
+            "buckets_rewritten": len(affected),
+            "buckets_total": m.n_buckets,
+            "max_seq": seq_val,
+        }
+        self._commit(m, carried + new_files, schema, schema_version, ledger_key,
+                     source_id, batch_id, None, metrics, None)
         return {"skipped": False, "version": m.version + 1, "batch_id": batch_id,
                 "metrics": metrics}
 
