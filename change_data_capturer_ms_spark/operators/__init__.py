@@ -12,6 +12,7 @@ from change_data_capturer_ms_spark.operators.grouped import (
 from change_data_capturer_ms_spark.operators.dedup_docs import (
     dedup_dataset,
     duplicate_clusters,
+    duplicate_spans,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -44,6 +45,10 @@ from change_data_capturer_ms_spark.operators.text import (
     token_count_bpe_ish,
     token_count_ws,
     winnow_fingerprints,
+)
+from change_data_capturer_ms_spark.operators.packing import (
+    pack_bins_greedy,
+    pack_concat_chunks,
 )
 from change_data_capturer_ms_spark.operators.sampling import (
     hash_sample,
@@ -87,7 +92,7 @@ __all__ = [
     "lww_dedupe", "lww_dedupe_two_phase", "lww_dedupe_window", "salted_repartition",
     "streaming_dedupe_within_watermark", "weighted_mean_agg", "zscore_normalize",
     "dedup_dataset", "duplicate_clusters", "exact_dedup", "minhash_lsh_pairs", "minhash_signatures",
-    "ngram_jaccard_pairs", "simhash", "simhash_dup_pairs",
+    "duplicate_spans", "ngram_jaccard_pairs", "simhash", "simhash_dup_pairs",
     "simhash_pairs_banded", "word_shingles",
     "brute_force_topk", "cosine_sim", "embedding_near_dup_pairs", "ivf_topk",
     "ivf_topk_det", "lsh_topk", "normalize_embeddings",
@@ -96,6 +101,7 @@ __all__ = [
     "redact_pii", "text_profile", "tfidf_top_terms", "token_count_bpe_ish", "token_count_ws", "winnow_fingerprints",
     "extract_media_features", "frame_sample", "synth_media",
     "hash_sample", "hash_split", "stratified_sample_exact",
+    "pack_bins_greedy", "pack_concat_chunks",
     "change_deltas", "content_change_audit", "scd2_history", "snapshot_diff",
     "agg_deltas_from_diff", "agg_state", "apply_agg_deltas",
     "distinct_counts", "hll_state", "hll_deltas_from_diff",

@@ -376,3 +376,74 @@ def simhash_pairs_banded(
                 *([F.col("sim_a").alias("sig_a"), F.col("sim_b").alias("sig_b")]
                   if with_sigs else []))
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    df_cap: int = 1000,
+) -> DataFrame:
+    """Exact-substring duplicate spans (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499): find every
+    maximal token span that appears verbatim in MORE THAN ONE document, so the
+    caller can cut the repeated bytes instead of dropping whole documents —
+    the dedup mode whole-doc/near-dup operators cannot express.
+
+    Suffix arrays don't distribute; the Spark-shaped equivalent is windowed
+    hashing: every n-token window (md5-hashed, cross-engine stable) → one
+    aggregation for the window's document frequency → windows shared by 2..
+    `df_cap` docs mark their positions → per-doc gaps-and-islands folds
+    overlapping windows into MAXIMAL spans. Any shared substring of ≥ n tokens
+    is covered by ≥ 1 shared window, and a span of L shared tokens produces
+    L-n+1 marked windows that fold into exactly one island.
+
+    Output: (id, span_start, span_end, n_windows) with token-index bounds
+    [span_start, span_end] inclusive.
+
+    Scale shape: the window table is O(total tokens) — the honest cost of
+    exact dedup (the suffix array is the same size). Both shuffles key on
+    bounded-skew columns: the window hash (df_cap bounds any hot window's
+    group, mirroring the shingle DF cap on ngram_jaccard_pairs), then the doc
+    id (islands are a per-doc linear window). No UDF, no self-join.
+    """
+    words = F.split(F.col(text_col), " ")
+    starts = F.sequence(F.lit(0), F.size(words) - n)
+    sh = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    pos_h = (
+        df.filter(F.size(words) >= n)
+        .select(F.col(id_col).alias("id"), F.posexplode(sh).alias("pos", "w"))
+        .select("id", "pos", md5_long56(F.col("w")).alias("h"))
+    )
+    # document frequency per window hash; cap kills boilerplate windows that
+    # would otherwise mark most of every document (license headers etc.)
+    shared = (
+        pos_h.groupBy("h")
+        .agg(F.count_distinct("id").alias("ndocs"))
+        .filter((F.col("ndocs") > 1) & (F.col("ndocs") <= df_cap))
+    )
+    marked = pos_h.join(shared, "h").select("id", "pos")
+    # gaps-and-islands: a window starting at pos overlaps a previous one iff
+    # pos <= prev_pos + n - 1; running max of window ends finds the break
+    from pyspark.sql import Window
+
+    w_prev = (Window.partitionBy("id").orderBy("pos")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_ord = Window.partitionBy("id").orderBy("pos")
+    islands = (
+        marked
+        .withColumn("_prev_end", F.max(F.col("pos") + n - 1).over(w_prev))
+        .withColumn("_new", (F.col("_prev_end").isNull()
+                             | (F.col("pos") > F.col("_prev_end"))).cast("int"))
+        .withColumn("_island", F.sum("_new").over(w_ord))
+    )
+    return (
+        islands.groupBy("id", "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n - 1).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("_island")
+    )
