@@ -46,10 +46,13 @@ from change_data_capturer_ms_spark.operators import (
     synth_media,
 )
 from change_data_capturer_ms_spark.operators.similarity import embedding_near_dup_pairs
+from change_data_capturer_ms_spark.operators.packing import pack_concat_chunks
 from change_data_capturer_ms_spark.operators.sampling import (
     hash_split,
     hash_split_case_sql,
 )
+from change_data_capturer_ms_spark.operators.text import token_count_ws
+from change_data_capturer_ms_spark.sources.snapshot_cdc import snapshot_to_changelog
 from change_data_capturer_ms_spark.operators.delta import (
     change_deltas,
     scd2_history,
@@ -652,15 +655,18 @@ def q_dedup_simhash_pairs(spark, sf_dir):
 
 
 def q_train_split(spark, sf_dir):
-    """Deterministic hash-based train/val/test split (operators/sampling.py):
-    membership is a pure function of the key via the cross-engine md5-56
-    bucket, so retries and re-partitionings never move a document between
-    splits. Surface: per-(split, lang) doc counts + char volume."""
-    d = _t(spark, sf_dir, "documents")
+    """Deterministic hash-based train/val/test split (operators/sampling.py)
+    + concat-and-chunk sequence packing (operators/packing.py) in one per-doc
+    surface — the training-data layout pipeline. Split membership and packing
+    position are both pure functions of the key (cross-engine md5-56 hash),
+    so every engine rederives the exact layout: shard, gapless start_offset,
+    chunk id and straddle count from ONE per-shard window cumsum."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count_ws("text"))
     s = hash_split(d, "doc_id")  # 80/10/10 train/val/test
-    return s.groupBy("split", "lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("sum_chars"),
+    return pack_concat_chunks(
+        s, id_col="doc_id", tokens_col="n_tokens", budget=512, n_shards=8,
+        keep_cols=["split", "lang", "n_tokens"],
     )
 
 
@@ -730,8 +736,13 @@ def q_embed_near_dup(spark, sf_dir):
 def q_text_quality_langid(spark, sf_dir):
     """Quality features + per-language stopword scores + lang guess in ONE
     projection (operators/text.py text_profile — no join of two per-doc
-    projections). r2 fold of text_quality + text_langid."""
-    return text_profile(_t(spark, sf_dir, "documents"))
+    projections), LEFT-joined with the per-doc min/max fingerprint sketch
+    (doc_fingerprint: one shingle explode + agg). Later r2 fold of
+    text_quality + text_langid + doc_fingerprint — all per-doc grain, so the
+    join is key-co-partitioned."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = doc_fingerprint(docs, n=4).withColumnRenamed("id", "doc_id")
+    return text_profile(docs).join(fp, "doc_id", "left")
 
 
 def q_scd2_history(spark, sf_dir):
@@ -767,8 +778,22 @@ def q_snapshot_diff(spark, sf_dir):
     )
 
 
-def q_doc_fingerprint(spark, sf_dir):
-    return doc_fingerprint(_t(spark, sf_dir, "documents"), n=4)
+def q_snapshot_cdc(spark, sf_dir):
+    """Snapshot-based CDC (sources/snapshot_cdc.py): two full snapshot exports
+    of the documents table (filtered/mutated projections, no changelog) diffed
+    into insert/update/delete events in ONE side-restricted conditional-max_by
+    groupBy — the no-WAL ingest path. The oracle rederives it with a FULL
+    OUTER JOIN (a deliberately different formulation of the same semantics)."""
+    docs = _t(spark, sf_dir, "documents")
+    old = (docs.filter(F.col("doc_id") % 5 != 0)
+           .select("doc_id", "lang", "text"))
+    new = (docs.filter(F.col("doc_id") % 7 != 0)
+           .select("doc_id", "lang",
+                   F.when(F.col("doc_id") % 3 == 0, F.upper(F.col("text")))
+                   .otherwise(F.col("text")).alias("text")))
+    ev = snapshot_to_changelog(old, new, ["doc_id"], seq=42)
+    return ev.select("doc_id", "op", "seq", "lang",
+                     F.length("text").alias("n_chars_ev"))
 
 
 def q_multimodal_pipeline(spark, sf_dir):
@@ -887,7 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ivf_ann": q_embed_ivf_ann,
         "embed_near_dup": q_embed_near_dup,
         "text_quality_langid": q_text_quality_langid,
-        "doc_fingerprint": q_doc_fingerprint,
+        "snapshot_cdc": q_snapshot_cdc,
         "multimodal_pipeline": q_multimodal_pipeline,
         "drift_psi": q_drift_psi,
         "cdc_streaming_state": q_cdc_streaming_state,
@@ -924,6 +949,7 @@ def _minhash_sig_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    pack_h = _H("'pack:' || CAST(doc_id AS VARCHAR)")
     k = len(MINHASH_PERMS)
     band_joins = []
     for bidx in range(4):
@@ -1229,9 +1255,21 @@ def oracle_sql() -> dict[str, str]:
             "WHERE bit_count(xor(sa, sb)) <= 3"
         ),
         "train_split": (
-            "SELECT " + hash_split_case_sql("doc_id") + " AS split, lang, "
-            "COUNT(*)::BIGINT AS n_docs, SUM(n_chars)::BIGINT AS sum_chars "
-            "FROM documents GROUP BY 1, 2"
+            # split membership + concat-and-chunk packing layout, rederived
+            # from the same cross-engine md5-56 hashes + one window cumsum
+            "WITH t AS (SELECT doc_id, lang, "
+            + hash_split_case_sql("doc_id") + " AS split, "
+            "  len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens, "
+            f"  {pack_h} AS h FROM documents), "
+            "s AS (SELECT *, (h % 8)::INT AS shard FROM t WHERE n_tokens > 0), "
+            "c AS (SELECT *, SUM(n_tokens) OVER "
+            "  (PARTITION BY shard ORDER BY h, doc_id) AS end_excl FROM s) "
+            "SELECT doc_id, split, lang, n_tokens::INT AS n_tokens, shard, "
+            "(end_excl - n_tokens)::BIGINT AS start_offset, "
+            "floor((end_excl - n_tokens) / 512.0)::BIGINT AS chunk, "
+            "(floor((end_excl - 1) / 512.0) "
+            " - floor((end_excl - n_tokens) / 512.0) + 1)::BIGINT "
+            "  AS n_chunks_spanned FROM c"
         ),
         "change_delta_lag": (
             "SELECT user_id, event_id, ROUND(value, 2) AS value_r, "
@@ -1330,7 +1368,13 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) "
             "  / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS distinct_ratio, "
             + ", ".join(stop_scores) + ", "
-            f"({fold_lang}) AS lang_guess FROM documents"
+            f"({fold_lang}) AS lang_guess, fp.fp_min, fp.fp_max, fp.n_shingles "
+            "FROM documents LEFT JOIN ("
+            "  WITH " + _SHINGLES_CTE.format(n=4, nm1=3) + " "
+            f"  SELECT doc_id AS id, MIN({_H('shingle')})::BIGINT AS fp_min, "
+            f"  MAX({_H('shingle')})::BIGINT AS fp_max, "
+            "  COUNT(*)::BIGINT AS n_shingles FROM shingles GROUP BY doc_id"
+            ") fp ON documents.doc_id = fp.id"
         ),
         "scd2_history": (
             "SELECT user_id, event_id, "
@@ -1354,11 +1398,25 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(img_old.v, 2) AS old_value_r, ROUND(img_new.v, 2) AS new_value_r "
             "FROM agg WHERE img_old IS NULL OR img_old <> img_new"
         ),
-        "doc_fingerprint": (
-            "WITH " + _SHINGLES_CTE.format(n=4, nm1=3) + " "
-            f"SELECT doc_id AS id, MIN({_H('shingle')})::BIGINT AS fp_min, "
-            f"MAX({_H('shingle')})::BIGINT AS fp_max, COUNT(*)::BIGINT AS n_shingles "
-            "FROM shingles GROUP BY doc_id"
+        "snapshot_cdc": (
+            # deliberately a DIFFERENT formulation (FULL OUTER JOIN) of the
+            # engine's single-groupBy side-restricted max_by diff
+            "WITH old AS (SELECT doc_id, lang, text FROM documents "
+            "  WHERE doc_id % 5 <> 0), "
+            "new AS (SELECT doc_id, lang, CASE WHEN doc_id % 3 = 0 "
+            "  THEN upper(text) ELSE text END AS text FROM documents "
+            "  WHERE doc_id % 7 <> 0) "
+            "SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, "
+            "CASE WHEN o.doc_id IS NULL THEN 'insert' "
+            "  WHEN n.doc_id IS NULL THEN 'delete' ELSE 'update' END AS op, "
+            "42::BIGINT AS seq, "
+            "CASE WHEN n.doc_id IS NULL THEN o.lang ELSE n.lang END AS lang, "
+            "LENGTH(CASE WHEN n.doc_id IS NULL THEN o.text ELSE n.text END)"
+            "::INT AS n_chars_ev "
+            "FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id "
+            "WHERE o.doc_id IS NULL OR n.doc_id IS NULL "
+            "  OR (o.lang IS DISTINCT FROM n.lang) "
+            "  OR (o.text IS DISTINCT FROM n.text)"
         ),
         "multimodal_pipeline": (
             "WITH feats AS (SELECT doc_id AS media_id, "

@@ -53,13 +53,15 @@ def pack_concat_chunks(
     budget: int = 2048,
     n_shards: int = 64,
     salt: str = "pack",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Concat-and-chunk layout: per shard, documents concatenate in hash order
     and the stream is cut every `budget` tokens.
 
     Output per document: `shard`, `start_offset` (token offset of the doc in
     its shard's stream), `chunk` (the training sequence its first token lands
-    in), `n_chunks_spanned` (how many sequences the doc crosses — 1 = intact).
+    in), `n_chunks_spanned` (how many sequences the doc crosses — 1 = intact),
+    plus any `keep_cols` carried through (projection, not a join).
     Deterministic: layout is a pure function of (salt, id, token counts).
 
     ONE shuffle (the per-shard cumulative-sum window); everything else is
@@ -77,6 +79,7 @@ def pack_concat_chunks(
         .filter(toks > 0)
         .select(
             F.col(id_col),
+            *[F.col(c) for c in (keep_cols or [])],
             F.col("shard"),
             start,
             F.floor((end_excl - toks) / budget).cast("long").alias("chunk"),
