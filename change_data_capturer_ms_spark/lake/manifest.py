@@ -187,6 +187,46 @@ class ManifestStore:
         with open(self._version_path(version)) as f:
             return Manifest.from_json(f.read())
 
+    # -- named refs (Iceberg tag parity) ----------------------------------
+
+    def _tag_path(self, name: str) -> str:
+        return os.path.join(self.meta_dir, f"tag-{name}.json")
+
+    def set_tag(self, name: str, version: int) -> None:
+        """Pin `name` to a snapshot version (atomic replace, like the pointer)."""
+        tmp = self._tag_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"name": name, "version": version}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._tag_path(name))
+
+    def get_tag(self, name: str) -> int:
+        try:
+            with open(self._tag_path(name)) as f:
+                return int(json.load(f)["version"])
+        except FileNotFoundError:
+            raise KeyError(f"unknown tag: {name}")
+
+    def tags(self) -> dict[str, int]:
+        out: dict[str, int] = {}
+        import glob as _glob
+
+        for p in _glob.glob(os.path.join(self.meta_dir, "tag-*.json")):
+            try:
+                with open(p) as f:
+                    d = json.load(f)
+                out[d["name"]] = int(d["version"])
+            except (OSError, ValueError, KeyError):
+                continue  # decode-or-skip, same posture as lease reads
+        return out
+
+    def drop_tag(self, name: str) -> None:
+        try:
+            os.remove(self._tag_path(name))
+        except FileNotFoundError:
+            pass
+
     def commit(self, manifest: Manifest, expected_parent: int | None) -> None:
         """Write v{N}.json then atomically swap the pointer.
 

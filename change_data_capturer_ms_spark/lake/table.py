@@ -276,8 +276,11 @@ class LakeTable:
         version: int | None = None,
         buckets: set[int] | None = None,
         include_deleted: bool = False,
+        tag: str | None = None,
     ) -> DataFrame:
         """Snapshot read. `buckets` prunes to a file subset (the MERGE fast path).
+        `tag` reads a named pinned snapshot (see `tag()`); mutually exclusive
+        with `version`.
 
         Delete-winners persist as TOMBSTONE rows (`_last_op = 'delete'`) so that a
         later micro-batch carrying *older* seqs for the key cannot resurrect it —
@@ -285,9 +288,72 @@ class LakeTable:
         reordered file batch must converge to the same state). Default reads hide
         tombstones; `include_deleted=True` is the MERGE-internal view.
         """
+        if tag is not None:
+            if version is not None:
+                raise ValueError("read: pass version or tag, not both")
+            version = self.store.get_tag(tag)
         m = self.manifest(version)
         files = m.files if buckets is None else [f for f in m.files if f.bucket in buckets]
         return self._frame(m, files, include_deleted)
+
+    # -- named refs + rollback (Iceberg tag/rollback parity) ------------------
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin `name` to a snapshot (default: current). A tagged version is
+        RETAINED by expire_snapshots regardless of keep_last — the audit /
+        reproducibility anchor ("the snapshot training run X read") Iceberg
+        refs provide; drop_tag releases it."""
+        import re
+
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", name or ""):
+            raise ValueError(f"invalid tag name: {name!r}")
+        v = self.manifest(version).version  # validates the version exists
+        self.store.set_tag(name, v)
+        return v
+
+    def tags(self) -> dict[str, int]:
+        return self.store.tags()
+
+    def drop_tag(self, name: str) -> None:
+        self.store.drop_tag(name)
+
+    def rollback(self, version: int | None = None, tag: str | None = None) -> dict:
+        """Restore a previous snapshot as a NEW commit (Iceberg rollback):
+        history is preserved (rolling forward again is another rollback) and
+        no data file is touched — the new manifest simply references the old
+        version's file set.
+
+        The ENTIRE logical state restores — files, schema, n_buckets, lease,
+        exactly-once ledger and batch watermarks. Restoring the ledger is the
+        part Iceberg doesn't have to think about: keeping the current ledger
+        would record the rolled-back batches as committed, so their redelivery
+        would no-op and the data would be silently lost; with the old ledger
+        restored, replaying the log from the restored lease reconverges.
+        """
+        if (version is None) == (tag is None):
+            raise ValueError("rollback: pass exactly one of version or tag")
+        if tag is not None:
+            version = self.store.get_tag(tag)
+        cur = self.manifest()
+        if version == cur.version:
+            return {"skipped": True, "version": cur.version}
+        tgt = self.manifest(version)
+        new = Manifest(
+            version=cur.version + 1,
+            parent=cur.version,
+            schema_json=tgt.schema_json,
+            schema_version=tgt.schema_version,
+            n_buckets=tgt.n_buckets,
+            key_cols=list(tgt.key_cols),
+            files=list(tgt.files),
+            committed_batches=list(tgt.committed_batches),
+            lease=dict(tgt.lease),
+            batch_watermarks=dict(tgt.batch_watermarks),
+            write_mode=tgt.write_mode,
+            bloom_cols=list(tgt.bloom_cols),
+        )
+        self.store.commit(new, expected_parent=cur.version)
+        return {"skipped": False, "version": new.version, "restored": version}
 
     def _frame(self, m: Manifest, files: list[FileEntry],
                include_deleted: bool) -> DataFrame:
@@ -1203,17 +1269,21 @@ class LakeTable:
         referenced only by them (Iceberg expire_snapshots semantics).
 
         The current snapshot is never touched; time travel remains available for
-        retained versions. Orphan files from crashed writers are also swept (they
-        appear in no retained manifest) — but only once older than
-        `orphan_grace_sec`: a merge/compact in flight has written data files whose
-        manifest is not yet committed, and sweeping those would corrupt that
-        commit (Iceberg's remove_orphan_files applies the same mtime guard).
+        retained versions, and TAGGED versions are pinned regardless of age
+        (Iceberg ref-retention semantics — a tag marks a snapshot someone must
+        be able to reproduce; drop_tag releases it). Orphan files from crashed
+        writers are also swept (they appear in no retained manifest) — but only
+        once older than `orphan_grace_sec`: a merge/compact in flight has
+        written data files whose manifest is not yet committed, and sweeping
+        those would corrupt that commit (Iceberg's remove_orphan_files applies
+        the same mtime guard).
         """
         import time as _time
 
         cur = self.manifest()
         keep_versions = [v for v in range(max(0, cur.version - keep_last + 1),
                                           cur.version + 1)]
+        keep_versions = sorted(set(keep_versions) | set(self.store.tags().values()))
         live: set[str] = set()
         referenced: set[str] = set()  # referenced by ANY manifest, retained or not
         for mpath in glob.glob(os.path.join(self.path, "_meta", "v*.json")):
