@@ -91,6 +91,7 @@ class CDCPipeline:
         queue_sink=None,
         monitor_cols: list[str] | None = None,
         monitor_top_k: int = 20,
+        audit_fn=None,
     ):
         self.spark = spark
         self.reader = ChangeLogReader(spark, log_path)
@@ -113,6 +114,14 @@ class CDCPipeline:
         # column per batch — opt in for low-cardinality columns (lang, op).
         self.monitor_cols = list(monitor_cols or [])
         self.monitor_top_k = monitor_top_k
+        # write-audit-publish gate: audit_fn(table, merge_result) runs AFTER the
+        # merge commit but BEFORE the lease advances or the queue produces;
+        # returning False / a reason string rolls the table back to the parent
+        # snapshot (manifest-only — no data rewrite, and the rollback restores
+        # the exactly-once ledger so the batch can legally re-apply later) and
+        # quarantines the batch rows for replay_quarantine. Iceberg's
+        # WAP / branch-validate-publish pattern on the engine's own primitives.
+        self.audit_fn = audit_fn
         self.lease_dir = os.path.join(table.path, "_lease")
 
     # -- lease (inspectable resume state) ------------------------------------
@@ -247,6 +256,30 @@ class CDCPipeline:
             lineage=lineage,
             planning_stats=planning_stats,
         )
+        if self.audit_fn is not None and not result.get("skipped"):
+            verdict = self.audit_fn(self.table, result)
+            if verdict is not None and verdict is not True:
+                reason = "audit rejected batch" if verdict is False else str(verdict)
+                parent = int(result["version"]) - 1
+                self.table.rollback(version=parent)
+                restored = self.table.lease()
+                if restored:  # empty ⇒ rolled back to the pre-first-batch table
+                    self._write_lease(restored)  # sidecar follows the table
+                if self.quarantine_dir:
+                    captured = batch_df.filter(
+                        F.col("op").isin(*self.cfg.captured_ops))
+                    (captured
+                     .withColumn("_reasons", F.array(F.lit(f"audit:{reason}")))
+                     .withColumn("_batch_id", F.lit(batch_id))
+                     .write.mode("append").parquet(self.quarantine_dir))
+                else:
+                    raise RuntimeError(
+                        f"audit failed for batch {batch_id} ({reason}) and no "
+                        "quarantine_dir is configured — refusing to drop the "
+                        "batch silently")
+                return {"skipped": False, "audit_failed": True, "reason": reason,
+                        "version": parent, "batch_id": batch_id,
+                        "metrics": {"rows": 0, "upserts": 0, "deletes": 0}}
         if not result.get("skipped"):
             lease = self.table.lease()
             if self.monitor_cols:
