@@ -130,6 +130,18 @@ class Manifest:
     # columns carrying per-file equality bloom filters (lake/bloom.py); a
     # table property fixed at create, like write_mode. [] ⇒ feature off.
     bloom_cols: list = field(default_factory=list)
+    # physical bucketing columns — a subset of key_cols (Iceberg: the partition
+    # spec need not equal the identifier fields). [] ⇒ bucket by the full key
+    # (the default, and what every pre-upgrade manifest means). A coarser
+    # bucket function lets readers prune by a key PREFIX (e.g. a secondary
+    # index keyed (band, band_hash, id) but bucketed by (band, band_hash), so
+    # probes that know only the prefix still touch one bucket).
+    bucket_cols: list = field(default_factory=list)
+
+    @property
+    def bucket_key(self) -> list[str]:
+        """The columns the bucket function actually hashes."""
+        return self.bucket_cols or self.key_cols
 
     def is_committed(self, source_id: str, batch_id) -> bool:
         """Exactly-once check: ledger entry OR covered by the source watermark.

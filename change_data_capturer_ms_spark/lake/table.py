@@ -183,6 +183,7 @@ class LakeTable:
         n_buckets: int = 16,
         write_mode: str = "cow",
         bloom_cols: list[str] | None = None,
+        bucket_cols: list[str] | None = None,
     ):
         """`write_mode` picks the write-vs-read amplification tradeoff:
 
@@ -203,6 +204,12 @@ class LakeTable:
         skip files the zone map can't (high-cardinality unsorted columns).
         Costs one extra bounded aggregation per write. Also a create-time
         table property.
+
+        `bucket_cols`: bucket by a SUBSET of key_cols instead of the full key
+        (Iceberg: partition spec ≠ identifier fields). Readers that know only
+        that prefix can still prune to one bucket — the shape a secondary
+        index needs (keyed (band, band_hash, id), bucketed (band, band_hash)).
+        Default None ⇒ bucket by the full key. Create-time property.
         """
         if write_mode not in ("cow", "mor"):
             raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
@@ -213,6 +220,7 @@ class LakeTable:
         self._n_buckets = n_buckets
         self._write_mode = write_mode
         self._bloom_cols = list(bloom_cols or [])
+        self._bucket_cols = list(bucket_cols or [])
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -224,6 +232,10 @@ class LakeTable:
         /root/reference/src/capturer/mongo/utils.ts:51-70)."""
         if self.exists():
             raise ValueError(f"table already exists at {self.path}")
+        bad = [c for c in self._bucket_cols if c not in self._key_cols]
+        if bad:
+            raise ValueError(
+                f"bucket_cols must be a subset of key_cols; not keys: {bad}")
         if self._bloom_cols:
             from change_data_capturer_ms_spark.lake.bloom import SUPPORTED_TYPES
 
@@ -255,6 +267,7 @@ class LakeTable:
             lease={},
             write_mode=self._write_mode,
             bloom_cols=self._bloom_cols,
+            bucket_cols=self._bucket_cols,
         )
         self.store.commit(m, expected_parent=None)
         return m
@@ -351,6 +364,7 @@ class LakeTable:
             batch_watermarks=dict(tgt.batch_watermarks),
             write_mode=tgt.write_mode,
             bloom_cols=list(tgt.bloom_cols),
+            bucket_cols=list(tgt.bucket_cols),
         )
         self.store.commit(new, expected_parent=cur.version)
         return {"skipped": False, "version": new.version, "restored": version}
@@ -407,14 +421,14 @@ class LakeTable:
 
         types = {f.name: f.dataType.simpleString() for f in m.schema.fields}
         try:
-            h = xxhash64_cols([key_values[k] for k in m.key_cols],
-                              [types[k] for k in m.key_cols])
+            h = xxhash64_cols([key_values[k] for k in m.bucket_key],
+                              [types[k] for k in m.bucket_key])
             bucket = h % m.n_buckets  # Python % == Spark pmod for positive mod
         except TypeError:
             # unsupported key type: fall back to the JVM expression (one tiny job)
             row = self.spark.range(1).select(
-                *[F.lit(key_values[k]).alias(k) for k in m.key_cols]
-            ).select(bucket_expr(m.key_cols, m.n_buckets).alias("b")).first()
+                *[F.lit(key_values[k]).alias(k) for k in m.bucket_key]
+            ).select(bucket_expr(m.bucket_key, m.n_buckets).alias("b")).first()
             bucket = int(row["b"])
         # bucket pruning + per-file zone maps: within the key's bucket, a file
         # (CoW rewrite or MOR delta) whose key-col [min,max] excludes the value
@@ -634,7 +648,7 @@ class LakeTable:
             agg = (
                 (planning_df if planning_df is not None else batch)
                 .select(*keys, op_col, seq_col)
-                .withColumn("_bucket", bucket_expr(keys, n_buckets))
+                .withColumn("_bucket", bucket_expr(m.bucket_key, n_buckets))
                 .groupBy("_bucket")
                 .agg(
                     F.count(F.lit(1)).alias("n"),
@@ -736,7 +750,7 @@ class LakeTable:
         final = aligned.select(*[_out(c) for c in out_cols])
 
         # 5) cow: rewrite affected buckets; mor: append the deltas, keep all files
-        new_files = self._write_buckets(final, keys, n_buckets, m.version + 1,
+        new_files = self._write_buckets(final, m.bucket_key, n_buckets, m.version + 1,
                                         len(affected), bloom_cols=m.bloom_cols)
         carried = (list(m.files) if mor
                    else [f for f in m.files if f.bucket not in affected])
@@ -843,7 +857,7 @@ class LakeTable:
         if validate_source_unique:
             per_key = source.groupBy(*keys).agg(F.count(F.lit(1)).alias("_cnt"))
             agg = (
-                per_key.withColumn("_bucket", bucket_expr(keys, m.n_buckets))
+                per_key.withColumn("_bucket", bucket_expr(m.bucket_key, m.n_buckets))
                 .groupBy("_bucket")
                 .agg(F.sum("_cnt").alias("n"), F.max("_cnt").alias("max_dup"))
                 .collect()
@@ -855,7 +869,7 @@ class LakeTable:
         else:
             agg = (
                 source.select(*keys)
-                .withColumn("_bucket", bucket_expr(keys, m.n_buckets))
+                .withColumn("_bucket", bucket_expr(m.bucket_key, m.n_buckets))
                 .groupBy("_bucket").agg(F.count(F.lit(1)).alias("n"))
                 .collect()
             )
@@ -948,7 +962,7 @@ class LakeTable:
               for a in ("insert", "update", "delete")],
         )
         final = out.drop("_action").select(*[f.name for f in schema.fields])
-        new_files = self._write_buckets(final, keys, m.n_buckets, m.version + 1,
+        new_files = self._write_buckets(final, m.bucket_key, m.n_buckets, m.version + 1,
                                         len(affected), bloom_cols=m.bloom_cols)
         carried = (list(m.files) if mor
                    else [f for f in m.files if f.bucket not in affected])
@@ -1030,7 +1044,7 @@ class LakeTable:
 
             df = df.withColumn("_zkey", zorder_key(df, zorder_cols))
             sort_cols, drop_after_sort = ["_zkey"], ["_zkey"]
-        new_files = self._write_buckets(df, m.key_cols, m.n_buckets,
+        new_files = self._write_buckets(df, m.bucket_key, m.n_buckets,
                                         m.version + 1, len(victims),
                                         sort_cols=sort_cols,
                                         drop_after_sort=drop_after_sort,
@@ -1057,6 +1071,7 @@ class LakeTable:
             batch_watermarks=watermarks,
             write_mode=m.write_mode,
             bloom_cols=m.bloom_cols,
+            bucket_cols=list(m.bucket_cols),
         )
         self.store.commit(new, expected_parent=m.version)
         return {"compacted_buckets": len(victims), "version": m.version + 1,
@@ -1164,7 +1179,7 @@ class LakeTable:
             return {"rebucketed": False, "version": m.version,
                     "n_buckets": m.n_buckets}
         df = self.read(include_deleted=True)
-        new_files = self._write_buckets(df, m.key_cols, new_n_buckets,
+        new_files = self._write_buckets(df, m.bucket_key, new_n_buckets,
                                         m.version + 1, new_n_buckets,
                                         bloom_cols=m.bloom_cols)
         from change_data_capturer_ms_spark.lake.manifest import prune_ledger
@@ -1186,6 +1201,7 @@ class LakeTable:
             batch_watermarks=watermarks,
             write_mode=m.write_mode,
             bloom_cols=m.bloom_cols,
+            bucket_cols=list(m.bucket_cols),
         )
         self.store.commit(new, expected_parent=m.version)
         return {"rebucketed": True, "version": m.version + 1,
@@ -1230,13 +1246,13 @@ class LakeTable:
             int(r["_bucket"])
             for r in self.read(buckets=cand, include_deleted=True)
             .filter(expirable)
-            .withColumn("_bucket", bucket_expr(m.key_cols, m.n_buckets))
+            .withColumn("_bucket", bucket_expr(m.bucket_key, m.n_buckets))
             .select("_bucket").distinct().collect()
         }
         if not victims:
             return {"expired": 0, "version": m.version}
         keep = self.read(buckets=victims, include_deleted=True).filter(~expirable)
-        new_files = self._write_buckets(keep, m.key_cols, m.n_buckets,
+        new_files = self._write_buckets(keep, m.bucket_key, m.n_buckets,
                                         m.version + 1, len(victims),
                                         bloom_cols=m.bloom_cols)
         carried = [f for f in m.files if f.bucket not in victims]
@@ -1259,6 +1275,7 @@ class LakeTable:
             batch_watermarks=watermarks,
             write_mode=m.write_mode,
             bloom_cols=m.bloom_cols,
+            bucket_cols=list(m.bucket_cols),
         )
         self.store.commit(new, expected_parent=m.version)
         return {"expired_buckets": len(victims), "version": m.version + 1}
@@ -1511,5 +1528,6 @@ class LakeTable:
             batch_watermarks=watermarks,
             write_mode=parent.write_mode,
             bloom_cols=parent.bloom_cols,
+            bucket_cols=list(parent.bucket_cols),
         )
         self.store.commit(new, expected_parent=parent.version)

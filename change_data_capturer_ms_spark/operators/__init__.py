@@ -46,6 +46,11 @@ from change_data_capturer_ms_spark.operators.text import (
     token_count_ws,
     winnow_fingerprints,
 )
+from change_data_capturer_ms_spark.operators.dedup_index import (
+    MinHashLSHIndex,
+    band_rows,
+    index_delta,
+)
 from change_data_capturer_ms_spark.operators.packing import (
     pack_bins_greedy,
     pack_concat_chunks,

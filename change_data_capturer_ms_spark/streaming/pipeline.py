@@ -223,7 +223,7 @@ class CDCPipeline:
         pre = (
             batch_df.filter(F.col("op").isin(*self.cfg.captured_ops))
             .select(*keys, "seq")
-            .withColumn("_bucket", bucket_expr(keys, m.n_buckets))
+            .withColumn("_bucket", bucket_expr(m.bucket_key, m.n_buckets))
             .withColumn("p", F.spark_partition_id())
         )
         rows = (

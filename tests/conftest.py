@@ -29,6 +29,14 @@ def tmpdir_path():
     shutil.rmtree(d, ignore_errors=True)
 
 
+@pytest.fixture(scope="module")
+def tmpdir_path_mod():
+    """Module-scoped tmpdir for fixtures shared across a test module."""
+    d = tempfile.mkdtemp(prefix="cdc_test_mod_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
