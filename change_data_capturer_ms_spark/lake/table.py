@@ -1124,6 +1124,111 @@ class LakeTable:
             ],
         }
 
+    def files_df(self, version: int | None = None) -> DataFrame:
+        """Iceberg `table.files` metadata-table parity: one row per data file
+        in the snapshot, as a DataFrame (joinable, filterable). Built from
+        manifest entries — no data files are opened. At the 100 TB config the
+        manifest itself would be Avro-file-backed and this would read it
+        distributed; the row shape is the contract."""
+        m = self.manifest(version)
+        rows = [(f.path, int(f.bucket), int(f.rows), int(f.bytes),
+                 None if f.min_seq is None else int(f.min_seq),
+                 None if f.max_seq is None else int(f.max_seq))
+                for f in m.files]
+        schema = ("path string, bucket int, rows bigint, bytes bigint, "
+                  "min_seq bigint, max_seq bigint")
+        if not rows:
+            return self.spark.range(0).selectExpr(
+                "cast(null as string) path", "cast(null as int) bucket",
+                "cast(null as bigint) rows", "cast(null as bigint) bytes",
+                "cast(null as bigint) min_seq", "cast(null as bigint) max_seq")
+        return self.spark.createDataFrame(rows, schema)
+
+    def history_df(self) -> DataFrame:
+        """Iceberg `table.history`/`snapshots` parity: one row per retained
+        snapshot, newest first — version, parent, commit time, the batch that
+        produced it and its merge metrics. Walks the parent chain from the
+        current pointer; versions dropped by expire_snapshots end the walk
+        (exactly the retained history, like Iceberg)."""
+        rows = []
+        try:
+            m = self.manifest()
+        except Exception:
+            m = None
+        while m is not None:
+            lease = m.lease or {}
+            met = lease.get("metrics") or {}
+            rows.append((
+                int(m.version),
+                None if m.parent is None else int(m.parent),
+                float(m.committed_at or 0.0),
+                None if lease.get("batch_id") is None else str(lease["batch_id"]),
+                None if met.get("rows") is None else int(met["rows"]),
+                None if met.get("upserts") is None else int(met["upserts"]),
+                None if met.get("deletes") is None else int(met["deletes"]),
+                None if met.get("max_seq") is None else int(met["max_seq"]),
+                int(m.schema_version),
+                m.write_mode,
+            ))
+            if m.parent is None:
+                break
+            try:
+                m = self.manifest(m.parent)
+            except (FileNotFoundError, OSError):
+                break  # expired below this point — retained history only
+        schema = ("version int, parent int, committed_at double, "
+                  "batch_id string, rows bigint, upserts bigint, "
+                  "deletes bigint, max_seq bigint, schema_version int, "
+                  "write_mode string")
+        if not rows:
+            return self.spark.range(0).selectExpr(
+                "cast(null as int) version", "cast(null as int) parent",
+                "cast(null as double) committed_at",
+                "cast(null as string) batch_id", "cast(null as bigint) rows",
+                "cast(null as bigint) upserts", "cast(null as bigint) deletes",
+                "cast(null as bigint) max_seq",
+                "cast(null as int) schema_version",
+                "cast(null as string) write_mode")
+        return self.spark.createDataFrame(rows, schema)
+
+    def lookup_many(self, keys: list[dict], version: int | None = None
+                    ) -> DataFrame:
+        """Batched point lookups: ONE job for N keys instead of N `lookup()`
+        calls. Buckets are computed driver-side per key (xxhash64 port), the
+        per-key candidate files are unioned (zone-map + bloom skipping apply
+        per key), and the pruned frame is inner-joined with a broadcast frame
+        of the requested keys — O(matching files + N), never a table scan."""
+        m = self.manifest(version)
+        for kv in keys:
+            missing = [k for k in m.key_cols if k not in kv]
+            if missing:
+                raise ValueError(
+                    f"lookup_many requires all key columns; missing {missing}")
+        key_fields = [m.schema[k] for k in m.key_cols]
+        key_schema = T.StructType(key_fields)
+        if not keys:
+            return self._frame(m, [], False).limit(0)
+        from change_data_capturer_ms_spark.functions.xxh64 import xxhash64_cols
+
+        types = {f.name: f.dataType.simpleString() for f in m.schema.fields}
+        entries: dict[str, FileEntry] = {}
+        for kv in keys:
+            try:
+                h = xxhash64_cols([kv[k] for k in m.bucket_key],
+                                  [types[k] for k in m.bucket_key])
+                buckets = {h % m.n_buckets}
+            except TypeError:
+                buckets = None  # unsupported key type: zone/bloom pruning only
+            for f in self.candidate_files(
+                    [(k, "=", kv[k]) for k in m.key_cols],
+                    version=version, buckets=buckets):
+                entries[f.path] = f
+        base = self._frame(m, list(entries.values()), False)
+        key_df = self.spark.createDataFrame(
+            [tuple(kv[k] for k in m.key_cols) for kv in keys], key_schema
+        ).dropDuplicates(m.key_cols)
+        return base.join(F.broadcast(key_df), m.key_cols, "inner")
+
     def optimize(self, target_file_bytes: int = 128 * 1024 * 1024,
                  expire_below_seq: int | None = None,
                  keep_snapshots: int | None = None,

@@ -49,10 +49,30 @@ class JsonQueueSink:
         spark: SparkSession,
         path: str,
         key_cols: tuple[str, ...] | list[str] = ("repo", "path"),
+        envelope: str = "plain",
+        op_col: str = "op",
     ):
+        """`envelope` picks the body format:
+
+        - "plain" (default): body = to_json(struct(all columns)) — the
+          reference's `{ body: item }` produce shape.
+        - "debezium": body = the Debezium change-event value — {"payload":
+          {"before": null, "after": {...}|null, "op": "c"/"u"/"d", "source":
+          {"name": source_id, "seq": ...}}} — so any existing Debezium
+          consumer (sink connectors, Flink CDC) can read this engine's feed
+          without adaptation. `op_col` maps insert/update/delete → c/u/d
+          (delete ⇒ after=null; before is always null — the log carries
+          post-images only, which Debezium marks with
+          tombstones-on-delete=false semantics).
+        """
+        if envelope not in ("plain", "debezium"):
+            raise ValueError(f"envelope must be 'plain' or 'debezium', "
+                             f"got {envelope!r}")
         self.spark = spark
         self.path = path
         self.key_cols = list(key_cols)
+        self.envelope = envelope
+        self.op_col = op_col
         self.marker_dir = os.path.join(path, "_commits")
 
     # -- produce --------------------------------------------------------------
@@ -66,10 +86,32 @@ class JsonQueueSink:
         marker = self._marker(source_id, batch_id)
         if os.path.exists(marker):
             return {"skipped": True, "batch_id": batch_id}
-        payload_cols = [F.col(c) for c in df.columns]
+        if self.envelope == "debezium":
+            data_cols = [c for c in df.columns if c != self.op_col]
+            op = F.col(self.op_col)
+            dbz_op = (F.when(op == "insert", "c")
+                       .when(op.isin("update", "replace"), "u")
+                       .when(op == "delete", "d")
+                       .otherwise("r"))  # snapshot/bootstrap reads
+            body = F.to_json(F.struct(F.struct(
+                F.lit(None).cast("string").alias("before"),
+                F.when(op != "delete",
+                       F.struct(*[F.col(c) for c in data_cols])).alias("after"),
+                dbz_op.alias("op"),
+                F.struct(
+                    F.lit(source_id).alias("name"),
+                    (F.col(seq_col).cast("long")
+                     if seq_col in df.columns
+                     else F.lit(None).cast("long")).alias("seq"),
+                ).alias("source"),
+                # explicit nulls: Debezium consumers distinguish "after": null
+                # (delete) from a missing field; Spark's default drops nulls
+            ).alias("payload")), {"ignoreNullFields": "false"})
+        else:
+            body = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
         env = df.select(
             F.concat_ws("/", *self.key_cols).alias("key"),
-            F.to_json(F.struct(*payload_cols)).alias("body"),
+            body.alias("body"),
             F.lit(source_id).alias("source_id"),
             F.lit(str(batch_id)).alias("batch_id"),
             (F.col(seq_col).cast("long") if seq_col in df.columns
