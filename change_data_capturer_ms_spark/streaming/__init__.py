@@ -1,4 +1,6 @@
 from change_data_capturer_ms_spark.streaming.pipeline import CDCPipeline, prepare_batch
 from change_data_capturer_ms_spark.streaming.stateful import running_key_stats
+from change_data_capturer_ms_spark.streaming.joins import stream_interval_join
 
-__all__ = ["CDCPipeline", "prepare_batch", "running_key_stats"]
+__all__ = ["CDCPipeline", "prepare_batch", "running_key_stats",
+           "stream_interval_join"]
