@@ -105,3 +105,66 @@ def test_passing_audit_is_transparent(spark, tmpdir_path):
     assert not ra.get("audit_failed")
     assert ra["metrics"] == rp["metrics"]
     assert _state(audited.table).equals(_state(plain.table))
+
+
+# -- ready-made audit helpers (streaming/audits.py) — metadata-only, no Spark --
+
+class _File:
+    def __init__(self, rows):
+        self.rows = rows
+
+
+class _FakeTable:
+    """manifest(v).files stub: version → physical row counts."""
+    def __init__(self, rows_by_version):
+        self._rows = rows_by_version
+
+    def manifest(self, version=None):
+        m = type("M", (), {})()
+        m.files = [_File(r) for r in self._rows[version]]
+        return m
+
+
+def _res(rows=100, deletes=0, version=1):
+    return {"metrics": {"rows": rows, "deletes": deletes}, "version": version}
+
+
+def test_audit_helpers_metadata_only():
+    from change_data_capturer_ms_spark.streaming import audits
+
+    a = audits.max_delete_fraction(0.5)
+    assert a(None, _res(rows=100, deletes=10)) is True
+    assert "delete fraction" in a(None, _res(rows=100, deletes=80))
+    assert a(None, _res(rows=0, deletes=0)) is True  # empty batch never trips
+
+    b = audits.row_bounds(min_rows=10, max_rows=1000)
+    assert b(None, _res(rows=10)) is True
+    assert "below minimum" in b(None, _res(rows=3))
+    assert "above maximum" in b(None, _res(rows=5000))
+
+    t = _FakeTable({0: [1000], 1: [300]})
+    c = audits.max_shrink_fraction(0.5)
+    assert "shrank" in c(t, _res(version=1))
+    t2 = _FakeTable({0: [1000], 1: [900]})
+    assert c(t2, _res(version=1)) is True
+    assert c(t2, _res(version=0)) is True  # first commit has no parent
+
+    combo = audits.all_of(b, a)
+    assert combo(None, _res(rows=50, deletes=5)) is True
+    assert "below minimum" in combo(None, _res(rows=3))  # first rejection wins
+
+
+def test_audit_helper_drives_pipeline_gate(spark, tmpdir_path):
+    """row_bounds plugged into the real pipeline gate: an over-sized batch is
+    rolled back and quarantined, a normal one publishes."""
+    from change_data_capturer_ms_spark.streaming import audits
+
+    full = gen_changelog(spark, 1200, seed=52, n_repos=6, paths_per_repo=4)
+    pipe = _pipe_audit(spark, tmpdir_path, audits.row_bounds(max_rows=800))
+    r0 = pipe.apply_batch(full.filter(F.col("seq") < 500), batch_id=0)
+    assert not r0.get("audit_failed")
+    r1 = pipe.apply_batch(full.filter(F.col("seq") >= 500), batch_id=1)  # 700>… ok
+    assert not r1.get("audit_failed")
+    big = gen_changelog(spark, 2000, seed=53, n_repos=6, paths_per_repo=4)
+    r2 = pipe.apply_batch(big, batch_id=2)
+    assert r2.get("audit_failed") and "above maximum" in r2["reason"]
