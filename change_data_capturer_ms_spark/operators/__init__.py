@@ -51,6 +51,10 @@ from change_data_capturer_ms_spark.operators.dedup_index import (
     band_rows,
     index_delta,
 )
+from change_data_capturer_ms_spark.operators.embed_index import (
+    EmbeddingANNIndex,
+    embed_index_delta,
+)
 from change_data_capturer_ms_spark.operators.packing import (
     pack_bins_greedy,
     pack_concat_chunks,
