@@ -155,6 +155,7 @@ class MinHashLSHIndex:
         bands: int = 4,
         n: int = 3,
         n_buckets: int = 64,
+        write_mode: str = "cow",
     ):
         from change_data_capturer_ms_spark.lake.table import LakeTable
 
@@ -166,6 +167,7 @@ class MinHashLSHIndex:
             key_cols=["band", "band_hash", "id"],
             bucket_cols=["band", "band_hash"],
             n_buckets=n_buckets,
+            write_mode=write_mode,
         )
 
     def update(

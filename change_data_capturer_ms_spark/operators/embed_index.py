@@ -85,6 +85,7 @@ class EmbeddingANNIndex:
         path: str,
         bits: int = 4,
         n_buckets: int = 32,
+        write_mode: str = "cow",
     ):
         from change_data_capturer_ms_spark.lake.table import LakeTable
 
@@ -95,6 +96,7 @@ class EmbeddingANNIndex:
             key_cols=["bucket", "id"],
             bucket_cols=["bucket"],
             n_buckets=n_buckets,
+            write_mode=write_mode,
         )
 
     def update(

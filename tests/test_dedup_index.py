@@ -157,3 +157,28 @@ def test_bucket_cols_must_be_key_subset(spark, tmpdir_path):
                   bucket_cols=["nope"])
     with pytest.raises(ValueError, match="subset of key_cols"):
         t.create(INDEX_SCHEMA)
+
+
+def test_optimize_preserves_probe_results(spark, tmpdir_path):
+    """The index table takes high-frequency small batches, so it fragments;
+    table.optimize() (compact → expiries) must not change probe answers."""
+    # merge-on-read: each tiny batch appends delta files (O(batch) writes) —
+    # the realistic mode for a high-frequency index — so buckets fragment
+    idx = MinHashLSHIndex(spark, f"{tmpdir_path}/idx_opt", n_buckets=8,
+                          write_mode="mor")
+    state = _mk_corpus(seed=21, n=10)
+    items = sorted(state.items())
+    # many tiny batches → multi-file buckets
+    for b, (d, t) in enumerate(items):
+        idx.update(_changes_df(spark, [(d, None, t, b)]), batch_id=b)
+    probes = spark.createDataFrame(
+        [("q", state["doc04"])], "doc_id string, text string")
+    before = {(r["probe_id"], r["index_id"], r["n_shared_bands"])
+              for r in idx.probe(probes).collect()}
+    files_before = len(idx.table.manifest().files)
+    rep = idx.table.optimize()
+    files_after = len(idx.table.manifest().files)
+    assert files_after < files_before, rep
+    after = {(r["probe_id"], r["index_id"], r["n_shared_bands"])
+             for r in idx.probe(probes).collect()}
+    assert after == before and before
