@@ -299,6 +299,67 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
     return times, this_run
 
 
+def bench_indexes(spark, sf_dir: str) -> dict:
+    """Incremental-index throughput at the sf dir: bootstrap the full
+    documents/embeddings tables into fresh indexes (update cost includes the
+    exactly-once MERGE commit) and probe a 200-row batch — the per-micro-batch
+    question the indexes exist to answer. Best-of-2 on fresh index dirs."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from change_data_capturer_ms_spark.operators import (
+        EmbeddingANNIndex,
+        MinHashLSHIndex,
+    )
+
+    out: dict = {}
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text",
+        F.col("doc_id").cast("long").alias("seq"))
+    n_docs = docs.count()
+    best_u = best_p = float("inf")
+    for _ in range(2):
+        d = tempfile.mkdtemp(prefix="cdc_bench_lsh_")
+        idx = MinHashLSHIndex(spark, f"{d}/idx", n_buckets=32)
+        ch = docs.select(
+            "doc_id", F.lit(None).cast("string").alias("old_text"),
+            F.col("text").alias("new_text"), "seq")
+        t0 = time.time()
+        idx.update(ch, batch_id=0)
+        best_u = min(best_u, time.time() - t0)
+        t0 = time.time()
+        idx.probe(docs.limit(200)).count()
+        best_p = min(best_p, time.time() - t0)
+        shutil.rmtree(d, ignore_errors=True)
+    out["lsh_text"] = {"docs": n_docs, "bootstrap_sec": round(best_u, 3),
+                       "docs_per_sec": round(n_docs / best_u, 1),
+                       "probe200_sec": round(best_p, 3)}
+    vecs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        F.col("vec_id").cast("string").alias("vec_id"), "embedding",
+        F.col("vec_id").cast("long").alias("seq"))
+    n_vecs = vecs.count()
+    best_u = best_p = float("inf")
+    for _ in range(2):
+        d = tempfile.mkdtemp(prefix="cdc_bench_eidx_")
+        idx = EmbeddingANNIndex(spark, f"{d}/idx", bits=4, n_buckets=16)
+        ch = vecs.select(
+            "vec_id",
+            F.lit(None).cast("array<double>").alias("old_vec"),
+            F.col("embedding").cast("array<double>").alias("new_vec"), "seq")
+        t0 = time.time()
+        idx.update(ch, batch_id=0)
+        best_u = min(best_u, time.time() - t0)
+        t0 = time.time()
+        idx.probe(vecs.limit(200), k=5).count()
+        best_p = min(best_p, time.time() - t0)
+        shutil.rmtree(d, ignore_errors=True)
+    out["ann_embed"] = {"vectors": n_vecs, "bootstrap_sec": round(best_u, 3),
+                        "vecs_per_sec": round(n_vecs / best_u, 1),
+                        "probe200_sec": round(best_p, 3)}
+    return out
+
+
 def _fold_apply_history(apply_stats: dict, n_events: int, cores: int) -> dict:
     """Fold same-shaped historical headline applies into the reported best.
 
@@ -469,6 +530,7 @@ def main() -> None:
     spark = _session(CPUS, "cdc-bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries, queries_this_run = bench_queries(spark, SF_DIR)
+    index_stats = bench_indexes(spark, SF_DIR)
     # warm-up then best-of-2 timed apply (steady-state; shared-host noise, see
     # apply_probe docstring)
     bench_apply(spark, max(100_000, n_events // 8), f"/tmp/cdc_bench_{CPUS}_warm",
@@ -483,7 +545,8 @@ def main() -> None:
     apply_stats = _fold_apply_history(apply_stats, n_events, CPUS)
 
     extra = {"apply": apply_stats, "apply_events_per_sec": apply_stats["events_per_sec"],
-             "cpus": CPUS, "queries_this_run": queries_this_run}
+             "cpus": CPUS, "queries_this_run": queries_this_run,
+             "incremental_index": index_stats}
 
     if scaling_mode:
         # N -> 4N pair = local[2] vs local[8]: the sandbox host shows ~45% CPU
