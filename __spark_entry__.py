@@ -34,6 +34,7 @@ from change_data_capturer_ms_spark.functions.classify import classify_op_builtin
 from change_data_capturer_ms_spark.lake.table import LakeTable
 from change_data_capturer_ms_spark.operators import (
     brute_force_topk,
+    contamination_check,
     doc_fingerprint,
     exact_dedup,
     extract_media_features,
@@ -63,7 +64,11 @@ from change_data_capturer_ms_spark.operators.ivm import (
     agg_state,
     apply_agg_deltas,
 )
-from change_data_capturer_ms_spark.operators.text import text_profile, tfidf_top_terms
+from change_data_capturer_ms_spark.operators.text import (
+    repetition_profile,
+    text_profile,
+    tfidf_top_terms,
+)
 from change_data_capturer_ms_spark.operators.reshape import melt, pivot_counts
 
 _VER = "r2b"  # bump to invalidate cached temp tables when semantics change
@@ -641,6 +646,38 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), bands=4, min_est=0.5)
 
 
+def q_dedup_pair_mining(spark, sf_dir):
+    """r2 fold of dedup_ngram_jaccard + dedup_minhash_lsh — both pair-grain
+    (id_a < id_b) near-dup miners over documents, src-tagged: the exact
+    capped-DF shingle-join baseline next to the banded-LSH sublinear path.
+    `shared` (shingle overlap count) only exists for the exact method; NULL
+    for minhash on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    jac = ngram_jaccard_pairs(docs, threshold=0.5, df_cap=1000).select(
+        F.lit("jaccard").alias("src"), "id_a", "id_b",
+        F.col("shared").cast("long").alias("shared"),
+        F.col("jaccard").alias("sim"),
+    )
+    mh = minhash_lsh_pairs(docs, bands=4, min_est=0.5).select(
+        F.lit("minhash").alias("src"), "id_a", "id_b",
+        F.lit(None).cast("long").alias("shared"),
+        F.col("est_jaccard").alias("sim"),
+    )
+    return jac.unionByName(mh)
+
+
+def q_contamination_check(spark, sf_dir):
+    """Benchmark decontamination (operators/contamination.py): per-doc n-gram
+    overlap vs an eval set synthesized deterministically from the corpus
+    itself (doc_id % 97 — no external data in the sandbox). n=3 because the
+    synthetic word-soup vocabulary is ~31 words; real decontamination uses
+    8–13-grams (GPT-3 appendix C) — identical plan shape, the eval side is
+    broadcast either way."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    return contamination_check(docs, ev, n=3)
+
+
 def q_dedup_simhash_pairs(spark, sf_dir):
     """Banded hamming-≤3 SimHash near-dup pairs (pigeonhole-complete for 4
     bands). 32-bit signatures: 8-bit bands collide for ~4/256 of random pairs,
@@ -737,12 +774,18 @@ def q_text_quality_langid(spark, sf_dir):
     """Quality features + per-language stopword scores + lang guess in ONE
     projection (operators/text.py text_profile — no join of two per-doc
     projections), LEFT-joined with the per-doc min/max fingerprint sketch
-    (doc_fingerprint: one shingle explode + agg). Later r2 fold of
-    text_quality + text_langid + doc_fingerprint — all per-doc grain, so the
-    join is key-co-partitioned."""
+    (doc_fingerprint: one shingle explode + agg) and the Gopher repetition
+    metrics (repetition_profile: one tagged explode + two aggs). Later r2
+    fold of text_quality + text_langid + doc_fingerprint + repetition —
+    all per-doc grain, so the joins are key-co-partitioned."""
     docs = _t(spark, sf_dir, "documents")
     fp = doc_fingerprint(docs, n=4).withColumnRenamed("id", "doc_id")
-    return text_profile(docs).join(fp, "doc_id", "left")
+    rep = repetition_profile(docs).withColumnRenamed("id", "doc_id")
+    return (
+        text_profile(docs)
+        .join(fp, "doc_id", "left")
+        .join(rep, "doc_id", "left")
+    )
 
 
 def q_scd2_history(spark, sf_dir):
@@ -898,9 +941,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_pair_mining": q_dedup_pair_mining,
         "minhash_signatures": q_minhash_signatures,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "contamination_check": q_contamination_check,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "train_split": q_train_split,
         "change_delta_lag": q_change_delta_lag,
@@ -1214,11 +1257,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT sha256(text) AS text_sha256, MIN(doc_id)::BIGINT AS canonical_id, "
             "COUNT(*)::BIGINT AS n_dups FROM documents GROUP BY 1"
         ),
-        "dedup_ngram_jaccard": (
+        "dedup_pair_mining": (
+            # r2 fold: exact capped-DF shingle join (src='jaccard') UNION the
+            # banded-LSH estimate (src='minhash'); `shared` is NULL for minhash
+            "SELECT 'jaccard' AS src, id_a, id_b, shared, jaccard AS sim FROM ("
             "WITH " + _SHINGLES_CTE.format(n=3, nm1=2) + ", "
-            "sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id), "
             # df cap mirror: shingles in > 1000 docs are excluded from the JOIN
             # (sizes stay uncapped) — same semantics as ngram_jaccard_pairs(df_cap=1000)
+            "sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id), "
             "hot AS (SELECT shingle FROM shingles GROUP BY shingle HAVING COUNT(*) > 1000), "
             "capped AS (SELECT * FROM shingles "
             "  WHERE shingle NOT IN (SELECT shingle FROM hot)), "
@@ -1229,13 +1275,30 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(shared / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard "
             "FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
             "WHERE ROUND(shared / (sa.n_sh + sb.n_sh - shared), 6) >= 0.5"
-        ),
-        "minhash_signatures": _minhash_sig_sql() + " SELECT * FROM sig",
-        "dedup_minhash_lsh": (
-            _minhash_sig_sql()
+            ") UNION ALL "
+            "SELECT 'minhash' AS src, id_a, id_b, NULL::BIGINT AS shared, "
+            "est_jaccard AS sim FROM ("
+            + _minhash_sig_sql()
             + f", cand AS ({lsh_union}) "
             + f"SELECT id_a, id_b, ROUND(({agree}) / {float(k)}, 6) AS est_jaccard "
-            + f"FROM cand WHERE ROUND(({agree}) / {float(k)}, 6) >= 0.5"
+            + f"FROM cand WHERE ROUND(({agree}) / {float(k)}, 6) >= 0.5)"
+        ),
+        "minhash_signatures": _minhash_sig_sql() + " SELECT * FROM sig",
+        "contamination_check": (
+            # eval set = doc_id % 97 slice of the corpus itself; 3-gram shingles
+            # (distinct per doc, same md5-56 hash both engines)
+            "WITH " + _SHINGLES_CTE.format(n=3, nm1=2) + ", "
+            f"hsh AS (SELECT doc_id, {_H('shingle')} AS h FROM shingles), "
+            "ev AS (SELECT doc_id AS eval_id, h FROM hsh WHERE doc_id % 97 = 0), "
+            "sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM hsh GROUP BY doc_id), "
+            "hits AS (SELECT d.doc_id, COUNT(DISTINCT d.h) AS n_cont, "
+            "  COUNT(DISTINCT e.eval_id) AS n_eval "
+            "  FROM hsh d JOIN ev e ON d.h = e.h GROUP BY d.doc_id) "
+            "SELECT s.doc_id AS id, s.n_shingles::BIGINT AS n_shingles, "
+            "COALESCE(hits.n_cont, 0)::BIGINT AS n_contaminated, "
+            "ROUND(COALESCE(hits.n_cont, 0) / s.n_shingles, 6) AS contamination_frac, "
+            "COALESCE(hits.n_eval, 0)::BIGINT AS n_eval_docs "
+            "FROM sizes s LEFT JOIN hits ON s.doc_id = hits.doc_id"
         ),
         "dedup_simhash_pairs": (
             # banded hamming-≤3: collide on any of 4 8-bit bands (32-bit
@@ -1368,13 +1431,52 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) "
             "  / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS distinct_ratio, "
             + ", ".join(stop_scores) + ", "
-            f"({fold_lang}) AS lang_guess, fp.fp_min, fp.fp_max, fp.n_shingles "
+            f"({fold_lang}) AS lang_guess, fp.fp_min, fp.fp_max, fp.n_shingles, "
+            "rep.n_lines, rep.dup_line_frac, rep.dup_line_char_frac, "
+            "rep.top_g2_frac, rep.dup_g5_frac "
             "FROM documents LEFT JOIN ("
             "  WITH " + _SHINGLES_CTE.format(n=4, nm1=3) + " "
             f"  SELECT doc_id AS id, MIN({_H('shingle')})::BIGINT AS fp_min, "
             f"  MAX({_H('shingle')})::BIGINT AS fp_max, "
             "  COUNT(*)::BIGINT AS n_shingles FROM shingles GROUP BY doc_id"
-            ") fp ON documents.doc_id = fp.id"
+            ") fp ON documents.doc_id = fp.id "
+            # repetition_profile mirror: lines + 2-grams + 5-grams exploded
+            # once (UNION ALL), per-(doc,kind,token) counts, conditional sums;
+            # empty gram families COALESCE to 0 (Spark's otherwise(0) sums)
+            # and the frac NULLIFs to NULL on a 0 denominator — both engines
+            "LEFT JOIN ("
+            "  WITH tk AS ("
+            "    SELECT doc_id, 'line' AS kind, unnest(list_filter("
+            "      string_split(text, chr(10)), x -> x <> '')) AS tok FROM documents"
+            "    UNION ALL"
+            "    SELECT doc_id, 'gt' AS kind, array_to_string(w[g : g + 1], ' ') AS tok"
+            "    FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS g"
+            "          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)"
+            "          WHERE len(w) >= 2)"
+            "    UNION ALL"
+            "    SELECT doc_id, 'gd' AS kind, array_to_string(w[g : g + 4], ' ') AS tok"
+            "    FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS g"
+            "          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)"
+            "          WHERE len(w) >= 5)"
+            "  ), per AS ("
+            "    SELECT doc_id, kind, tok, COUNT(*) AS cnt FROM tk"
+            "    GROUP BY doc_id, kind, tok"
+            "  ) SELECT doc_id AS id,"
+            "    COALESCE(SUM(cnt) FILTER (kind = 'line'), 0)::INT AS n_lines,"
+            "    ROUND(COALESCE(SUM(cnt) FILTER (kind = 'line' AND cnt > 1), 0)"
+            "      / NULLIF(COALESCE(SUM(cnt) FILTER (kind = 'line'), 0), 0), 6)"
+            "      AS dup_line_frac,"
+            "    ROUND(COALESCE(SUM(cnt * LENGTH(tok)) FILTER (kind = 'line' AND cnt > 1), 0)"
+            "      / NULLIF(COALESCE(SUM(cnt * LENGTH(tok)) FILTER (kind = 'line'), 0), 0), 6)"
+            "      AS dup_line_char_frac,"
+            "    ROUND(MAX(cnt) FILTER (kind = 'gt')"
+            "      / NULLIF(COALESCE(SUM(cnt) FILTER (kind = 'gt'), 0), 0), 6)"
+            "      AS top_g2_frac,"
+            "    ROUND(COALESCE(SUM(cnt) FILTER (kind = 'gd' AND cnt > 1), 0)"
+            "      / NULLIF(COALESCE(SUM(cnt) FILTER (kind = 'gd'), 0), 0), 6)"
+            "      AS dup_g5_frac"
+            "  FROM per GROUP BY doc_id"
+            ") rep ON documents.doc_id = rep.id"
         ),
         "scd2_history": (
             "SELECT user_id, event_id, "

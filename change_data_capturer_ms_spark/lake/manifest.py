@@ -239,7 +239,76 @@ class ManifestStore:
         except FileNotFoundError:
             pass
 
-    def commit(self, manifest: Manifest, expected_parent: int | None) -> None:
+    # -- branches (Iceberg branch-ref parity) ------------------------------
+    # A branch is a MOVABLE named ref: commits made through a branch-bound
+    # table advance the branch file, not `_current`, so main readers never
+    # see them until fast_forward publishes the head (the native
+    # write-audit-publish layout; the tag files above are the immutable kind).
+
+    def _branch_path(self, name: str) -> str:
+        return os.path.join(self.meta_dir, f"branch-{name}.json")
+
+    def set_branch(self, name: str, version: int) -> None:
+        tmp = self._branch_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"name": name, "version": version}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._branch_path(name))
+
+    def get_branch(self, name: str) -> int:
+        try:
+            with open(self._branch_path(name)) as f:
+                return int(json.load(f)["version"])
+        except FileNotFoundError:
+            raise KeyError(f"unknown branch: {name}")
+
+    def branches(self) -> dict[str, int]:
+        out: dict[str, int] = {}
+        import glob as _glob
+
+        for p in _glob.glob(os.path.join(self.meta_dir, "branch-*.json")):
+            try:
+                with open(p) as f:
+                    d = json.load(f)
+                out[d["name"]] = int(d["version"])
+            except (OSError, ValueError, KeyError):
+                continue
+        return out
+
+    def drop_branch(self, name: str) -> None:
+        try:
+            os.remove(self._branch_path(name))
+        except FileNotFoundError:
+            pass
+
+    def next_version(self) -> int:
+        """Next unused snapshot version: 1 + max over ALL manifest files.
+
+        With branches, version numbers are allocation order, not main-line
+        ancestry (the `parent` field is the ancestry) — main and branch
+        commits interleave in one global sequence so no two snapshots ever
+        share a vN.json (Iceberg's random snapshot-ids solve the same
+        collision; a monotone counter keeps time travel ergonomic)."""
+        import glob as _glob
+
+        versions = [
+            int(os.path.basename(p)[1:-5])
+            for p in _glob.glob(os.path.join(self.meta_dir, "v*.json"))
+        ]
+        return max(versions) + 1 if versions else 0
+
+    def set_current(self, version: int) -> None:
+        """Atomically move the main pointer (the publish step)."""
+        tmp_ptr = self.current_pointer + f".tmp{version}"
+        with open(tmp_ptr, "w") as f:
+            json.dump({"version": version}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp_ptr, self.current_pointer)
+
+    def commit(self, manifest: Manifest, expected_parent: int | None,
+               branch: str | None = None) -> None:
         """Write v{N}.json then atomically swap the pointer.
 
         Optimistic concurrency: refuse if someone committed since we planned (the
@@ -250,7 +319,14 @@ class ManifestStore:
         ledger check keeps it exactly-once.
         """
         os.makedirs(self.meta_dir, exist_ok=True)
-        if self.exists():
+        if branch is not None:
+            head = self.get_branch(branch)  # KeyError if the branch is unknown
+            if head != expected_parent:
+                raise RuntimeError(
+                    f"concurrent commit on branch {branch!r}: "
+                    f"head={head}, expected parent={expected_parent}"
+                )
+        elif self.exists():
             cur = self.current_version()
             if cur != expected_parent:
                 raise RuntimeError(
@@ -258,14 +334,17 @@ class ManifestStore:
                 )
         manifest.committed_at = time.time()
         vpath = self._version_path(manifest.version)
+        if os.path.exists(vpath):
+            raise RuntimeError(
+                f"snapshot version {manifest.version} already exists — "
+                "allocate versions with next_version() when branches are in play"
+            )
         with open(vpath + ".tmp", "w") as f:
             f.write(manifest.to_json())
             f.flush()
             os.fsync(f.fileno())
         os.replace(vpath + ".tmp", vpath)
-        tmp_ptr = self.current_pointer + f".tmp{manifest.version}"
-        with open(tmp_ptr, "w") as f:
-            json.dump({"version": manifest.version}, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp_ptr, self.current_pointer)
+        if branch is not None:
+            self.set_branch(branch, manifest.version)
+        else:
+            self.set_current(manifest.version)

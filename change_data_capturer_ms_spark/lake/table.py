@@ -221,6 +221,9 @@ class LakeTable:
         self._write_mode = write_mode
         self._bloom_cols = list(bloom_cols or [])
         self._bucket_cols = list(bucket_cols or [])
+        # None = bound to main (`_current`); a branch name = commits advance
+        # that ref and default reads resolve its head (see branch())
+        self._branch: str | None = None
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -280,6 +283,8 @@ class LakeTable:
             # message parity with the reference's missing-collection Left
             # (/root/reference/src/capturer/mongo/utils.ts:43-46)
             raise MissingResourceError(f"Collection not found: {self.path}")
+        if version is None and self._branch is not None:
+            version = self.store.get_branch(self._branch)
         return self.store.load(version)
 
     # -- read ----------------------------------------------------------------
@@ -330,6 +335,75 @@ class LakeTable:
     def drop_tag(self, name: str) -> None:
         self.store.drop_tag(name)
 
+    # -- branches (Iceberg branch / write-audit-publish parity) ---------------
+
+    def create_branch(self, name: str, version: int | None = None) -> int:
+        """Create a MOVABLE ref at `version` (default: current snapshot).
+
+        Unlike a tag, a branch advances when commits are made through a
+        branch-bound handle (`branch()`): merge/merge_into/compact/rollback on
+        that handle move the branch ref, never `_current`, so main readers see
+        nothing until `fast_forward` publishes the head. This is Iceberg's
+        branch WAP layout (write to branch `audit` → validate → fast-forward
+        main); the pipeline's audit_fn gate composes the same primitives via
+        rollback instead — both are supported shapes.
+        """
+        import re
+
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", name or ""):
+            raise ValueError(f"invalid branch name: {name!r}")
+        if name in self.store.branches():
+            raise ValueError(f"branch already exists: {name}")
+        v = self.manifest(version).version
+        self.store.set_branch(name, v)
+        return v
+
+    def branch(self, name: str) -> "LakeTable":
+        """A handle bound to branch `name`: reads resolve the branch head,
+        writes advance the branch ref. The underlying table object/state is
+        shared — only the ref binding differs."""
+        self.store.get_branch(name)  # KeyError if unknown
+        import copy
+
+        t = copy.copy(self)
+        t._branch = name
+        return t
+
+    def branches(self) -> dict[str, int]:
+        return self.store.branches()
+
+    def drop_branch(self, name: str) -> None:
+        self.store.drop_branch(name)
+
+    def fast_forward(self, name: str) -> dict:
+        """Publish a branch: move the MAIN pointer to the branch head,
+        fast-forward only (the current main snapshot must be an ancestor of
+        the head — if main advanced independently the branch is stale and
+        must be rebuilt; Iceberg's fast_forward imposes the same rule).
+
+        Metadata-only: one atomic pointer swap, no data movement. The head's
+        manifest carries the branch's ledger/lease, so batches committed on
+        the branch stay exactly-once after publish and the stream resumes
+        from the branch's watermark."""
+        head = self.store.get_branch(name)
+        cur = self.store.current_version()
+        v: int | None = head
+        while v is not None and v != cur:
+            try:
+                v = self.manifest(v).parent
+            except FileNotFoundError:
+                v = None
+        if v != cur:
+            raise RuntimeError(
+                f"fast_forward: main v{cur} is not an ancestor of branch "
+                f"{name!r} head v{head} — main advanced since the branch was "
+                "cut; rebuild the branch from current instead"
+            )
+        if head == cur:
+            return {"skipped": True, "version": cur}
+        self.store.set_current(head)
+        return {"skipped": False, "version": head, "from": cur}
+
     def rollback(self, version: int | None = None, tag: str | None = None) -> dict:
         """Restore a previous snapshot as a NEW commit (Iceberg rollback):
         history is preserved (rolling forward again is another rollback) and
@@ -352,7 +426,7 @@ class LakeTable:
             return {"skipped": True, "version": cur.version}
         tgt = self.manifest(version)
         new = Manifest(
-            version=cur.version + 1,
+            version=self.store.next_version(),
             parent=cur.version,
             schema_json=tgt.schema_json,
             schema_version=tgt.schema_version,
@@ -366,7 +440,7 @@ class LakeTable:
             bloom_cols=list(tgt.bloom_cols),
             bucket_cols=list(tgt.bucket_cols),
         )
-        self.store.commit(new, expected_parent=cur.version)
+        self.store.commit(new, expected_parent=cur.version, branch=self._branch)
         return {"skipped": False, "version": new.version, "restored": version}
 
     def _frame(self, m: Manifest, files: list[FileEntry],
@@ -664,9 +738,9 @@ class LakeTable:
             parent_ms = m.lease.get("metrics", {}).get("max_seq")
             metrics = {"rows": 0, "upserts": 0, "deletes": 0,
                        "max_seq": -1 if parent_ms is None else int(parent_ms)}
-            self._commit(m, m.files, schema, schema_version, ledger_key,
-                         source_id, batch_id, lease_token, metrics, lineage)
-            return {"skipped": False, "version": m.version + 1, "batch_id": batch_id,
+            v = self._commit(m, m.files, schema, schema_version, ledger_key,
+                             source_id, batch_id, lease_token, metrics, lineage)
+            return {"skipped": False, "version": v, "batch_id": batch_id,
                     "metrics": metrics}
         affected = {int(r["_bucket"]) for r in agg}
         batch_rows = sum(r["n"] for r in agg)
@@ -750,7 +824,8 @@ class LakeTable:
         final = aligned.select(*[_out(c) for c in out_cols])
 
         # 5) cow: rewrite affected buckets; mor: append the deltas, keep all files
-        new_files = self._write_buckets(final, m.bucket_key, n_buckets, m.version + 1,
+        nv = self.store.next_version()
+        new_files = self._write_buckets(final, m.bucket_key, n_buckets, nv,
                                         len(affected), bloom_cols=m.bloom_cols)
         carried = (list(m.files) if mor
                    else [f for f in m.files if f.bucket not in affected])
@@ -768,8 +843,9 @@ class LakeTable:
             "max_seq": int(max_seq),
         }
         self._commit(m, carried + new_files, schema, schema_version, ledger_key,
-                     source_id, batch_id, lease_token, metrics, lineage)
-        return {"skipped": False, "version": m.version + 1, "batch_id": batch_id,
+                     source_id, batch_id, lease_token, metrics, lineage,
+                     version=nv)
+        return {"skipped": False, "version": nv, "batch_id": batch_id,
                 "metrics": metrics}
 
     def merge_into(
@@ -875,9 +951,9 @@ class LakeTable:
             )
         if not agg:
             metrics = {"rows": 0, "upserts": 0, "deletes": 0, "max_seq": parent_ms}
-            self._commit(m, m.files, schema, schema_version, ledger_key,
-                         source_id, batch_id, None, metrics, None)
-            return {"skipped": False, "version": m.version + 1,
+            v = self._commit(m, m.files, schema, schema_version, ledger_key,
+                             source_id, batch_id, None, metrics, None)
+            return {"skipped": False, "version": v,
                     "batch_id": batch_id, "metrics": metrics}
         affected = {int(r["_bucket"]) for r in agg}
 
@@ -962,7 +1038,8 @@ class LakeTable:
               for a in ("insert", "update", "delete")],
         )
         final = out.drop("_action").select(*[f.name for f in schema.fields])
-        new_files = self._write_buckets(final, m.bucket_key, m.n_buckets, m.version + 1,
+        nv = self.store.next_version()
+        new_files = self._write_buckets(final, m.bucket_key, m.n_buckets, nv,
                                         len(affected), bloom_cols=m.bloom_cols)
         carried = (list(m.files) if mor
                    else [f for f in m.files if f.bucket not in affected])
@@ -981,8 +1058,8 @@ class LakeTable:
             "max_seq": seq_val,
         }
         self._commit(m, carried + new_files, schema, schema_version, ledger_key,
-                     source_id, batch_id, None, metrics, None)
-        return {"skipped": False, "version": m.version + 1, "batch_id": batch_id,
+                     source_id, batch_id, None, metrics, None, version=nv)
+        return {"skipped": False, "version": nv, "batch_id": batch_id,
                 "metrics": metrics}
 
     # -- maintenance ----------------------------------------------------------
@@ -1044,8 +1121,9 @@ class LakeTable:
 
             df = df.withColumn("_zkey", zorder_key(df, zorder_cols))
             sort_cols, drop_after_sort = ["_zkey"], ["_zkey"]
+        nv = self.store.next_version()
         new_files = self._write_buckets(df, m.bucket_key, m.n_buckets,
-                                        m.version + 1, len(victims),
+                                        nv, len(victims),
                                         sort_cols=sort_cols,
                                         drop_after_sort=drop_after_sort,
                                         bloom_cols=m.bloom_cols)
@@ -1055,11 +1133,11 @@ class LakeTable:
         from change_data_capturer_ms_spark.lake.manifest import prune_ledger
 
         batches, watermarks = prune_ledger(
-            m.committed_batches + [f"maintenance:compact-v{m.version + 1}"],
+            m.committed_batches + [f"maintenance:compact-v{nv}"],
             m.batch_watermarks,
         )
         new = Manifest(
-            version=m.version + 1,
+            version=nv,
             parent=m.version,
             schema_json=m.schema_json,
             schema_version=m.schema_version,
@@ -1073,8 +1151,8 @@ class LakeTable:
             bloom_cols=m.bloom_cols,
             bucket_cols=list(m.bucket_cols),
         )
-        self.store.commit(new, expected_parent=m.version)
-        return {"compacted_buckets": len(victims), "version": m.version + 1,
+        self.store.commit(new, expected_parent=m.version, branch=self._branch)
+        return {"compacted_buckets": len(victims), "version": nv,
                 "files_before": sum(len(v) for v in victims.values()),
                 "files_after": len(new_files)}
 
@@ -1284,17 +1362,18 @@ class LakeTable:
             return {"rebucketed": False, "version": m.version,
                     "n_buckets": m.n_buckets}
         df = self.read(include_deleted=True)
+        nv = self.store.next_version()
         new_files = self._write_buckets(df, m.bucket_key, new_n_buckets,
-                                        m.version + 1, new_n_buckets,
+                                        nv, new_n_buckets,
                                         bloom_cols=m.bloom_cols)
         from change_data_capturer_ms_spark.lake.manifest import prune_ledger
 
         batches, watermarks = prune_ledger(
-            m.committed_batches + [f"maintenance:rebucket-v{m.version + 1}"],
+            m.committed_batches + [f"maintenance:rebucket-v{nv}"],
             m.batch_watermarks,
         )
         new = Manifest(
-            version=m.version + 1,
+            version=nv,
             parent=m.version,
             schema_json=m.schema_json,
             schema_version=m.schema_version,
@@ -1308,8 +1387,8 @@ class LakeTable:
             bloom_cols=m.bloom_cols,
             bucket_cols=list(m.bucket_cols),
         )
-        self.store.commit(new, expected_parent=m.version)
-        return {"rebucketed": True, "version": m.version + 1,
+        self.store.commit(new, expected_parent=m.version, branch=self._branch)
+        return {"rebucketed": True, "version": nv,
                 "n_buckets": new_n_buckets,
                 "files": len(new_files)}
 
@@ -1357,18 +1436,19 @@ class LakeTable:
         if not victims:
             return {"expired": 0, "version": m.version}
         keep = self.read(buckets=victims, include_deleted=True).filter(~expirable)
+        nv = self.store.next_version()
         new_files = self._write_buckets(keep, m.bucket_key, m.n_buckets,
-                                        m.version + 1, len(victims),
+                                        nv, len(victims),
                                         bloom_cols=m.bloom_cols)
         carried = [f for f in m.files if f.bucket not in victims]
         from change_data_capturer_ms_spark.lake.manifest import prune_ledger
 
         batches, watermarks = prune_ledger(
-            m.committed_batches + [f"maintenance:expire-tombstones-v{m.version + 1}"],
+            m.committed_batches + [f"maintenance:expire-tombstones-v{nv}"],
             m.batch_watermarks,
         )
         new = Manifest(
-            version=m.version + 1,
+            version=nv,
             parent=m.version,
             schema_json=m.schema_json,
             schema_version=m.schema_version,
@@ -1382,8 +1462,8 @@ class LakeTable:
             bloom_cols=m.bloom_cols,
             bucket_cols=list(m.bucket_cols),
         )
-        self.store.commit(new, expected_parent=m.version)
-        return {"expired_buckets": len(victims), "version": m.version + 1}
+        self.store.commit(new, expected_parent=m.version, branch=self._branch)
+        return {"expired_buckets": len(victims), "version": nv}
 
     def expire_snapshots(self, keep_last: int = 2,
                          orphan_grace_sec: float = 3600.0) -> dict:
@@ -1405,7 +1485,15 @@ class LakeTable:
         cur = self.manifest()
         keep_versions = [v for v in range(max(0, cur.version - keep_last + 1),
                                           cur.version + 1)]
-        keep_versions = sorted(set(keep_versions) | set(self.store.tags().values()))
+        # tagged versions AND branch heads are pinned (Iceberg ref retention);
+        # a branch's intermediate ancestry is not — fast_forward/publish
+        # before expiring, or keep_last covers it on a linear history
+        keep_versions = sorted(set(keep_versions)
+                               | set(self.store.tags().values())
+                               | set(self.store.branches().values())
+                               # a branch-bound handle computes keep_last
+                               # around ITS head — main must survive anyway
+                               | {self.store.current_version()})
         live: set[str] = set()
         referenced: set[str] = set()  # referenced by ANY manifest, retained or not
         for mpath in glob.glob(os.path.join(self.path, "_meta", "v*.json")):
@@ -1606,7 +1694,8 @@ class LakeTable:
 
     def _commit(self, parent: Manifest, files: list[FileEntry], schema: T.StructType,
                 schema_version: int, ledger_key: str, source_id: str,
-                batch_id, lease_token, metrics: dict, lineage) -> None:
+                batch_id, lease_token, metrics: dict, lineage,
+                version: int | None = None) -> int:
         lease = {
             "id": source_id,  # reference: collection/container id (cosmos.ts:92-104)
             "lease": lease_token if lease_token is not None
@@ -1621,7 +1710,7 @@ class LakeTable:
             parent.committed_batches + [ledger_key], parent.batch_watermarks
         )
         new = Manifest(
-            version=parent.version + 1,
+            version=version if version is not None else self.store.next_version(),
             parent=parent.version,
             schema_json=schema.json(),
             schema_version=schema_version,
@@ -1635,4 +1724,6 @@ class LakeTable:
             bloom_cols=parent.bloom_cols,
             bucket_cols=list(parent.bucket_cols),
         )
-        self.store.commit(new, expected_parent=parent.version)
+        self.store.commit(new, expected_parent=parent.version,
+                          branch=self._branch)
+        return new.version

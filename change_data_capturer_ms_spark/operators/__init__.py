@@ -22,6 +22,10 @@ from change_data_capturer_ms_spark.operators.dedup_docs import (
     simhash_pairs_banded,
     word_shingles,
 )
+from change_data_capturer_ms_spark.operators.contamination import (
+    contamination_check,
+    decontaminate,
+)
 from change_data_capturer_ms_spark.operators.similarity import (
     brute_force_topk,
     cosine_sim,
@@ -33,6 +37,7 @@ from change_data_capturer_ms_spark.operators.similarity import (
     normalize_embeddings,
     pq_topk,
     quantize_embeddings_int8,
+    semdedup,
 )
 from change_data_capturer_ms_spark.operators.text import (
     doc_fingerprint,
@@ -41,6 +46,7 @@ from change_data_capturer_ms_spark.operators.text import (
     text_profile,
     lang_id_pandas,
     quality_scores,
+    repetition_profile,
     tfidf_top_terms,
     token_count_bpe_ish,
     token_count_ws,
@@ -105,11 +111,12 @@ __all__ = [
     "simhash_pairs_banded", "word_shingles",
     "brute_force_topk", "cosine_sim", "embedding_near_dup_pairs", "ivf_topk",
     "ivf_topk_det", "lsh_topk", "normalize_embeddings",
-    "pq_topk", "quantize_embeddings_int8", "dequantize_embeddings",
+    "pq_topk", "quantize_embeddings_int8", "dequantize_embeddings", "semdedup",
     "doc_fingerprint", "lang_id_builtin", "lang_id_pandas", "quality_scores",
-    "redact_pii", "text_profile", "tfidf_top_terms", "token_count_bpe_ish", "token_count_ws", "winnow_fingerprints",
+    "redact_pii", "repetition_profile", "text_profile", "tfidf_top_terms", "token_count_bpe_ish", "token_count_ws", "winnow_fingerprints",
     "extract_media_features", "frame_sample", "synth_media",
     "hash_sample", "hash_split", "stratified_sample_exact",
+    "contamination_check", "decontaminate",
     "pack_bins_greedy", "pack_concat_chunks",
     "change_deltas", "content_change_audit", "scd2_history", "snapshot_diff",
     "agg_deltas_from_diff", "agg_state", "apply_agg_deltas",

@@ -463,6 +463,72 @@ def dequantize_embeddings(df: DataFrame, q_col: str = "q",
     )
 
 
+def semdedup(
+    df: DataFrame,
+    tau: float = 0.95,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    drop all but one document from every group of SEMANTIC duplicates —
+    embeddings with cosine ≥ tau — keeping the min-id representative.
+
+    The paper's trick, kept here: pairwise cosine is only computed WITHIN a
+    coarse cluster, never across the corpus, so the quadratic term is bounded
+    by the largest cell, not the corpus (k-means cells there; the engine's
+    deterministic hash-seeded quantizer here — same assignment shape as
+    `ivf_topk_det`, so the cells are reproducible across runs and engines).
+    Cross-cell near-dups are missed by construction — the published
+    recall/cost trade.
+
+    Plan shape: centroid table is n_cells rows (broadcast); assignment is one
+    broadcast nested-loop; the pair join is a per-cell self-equi-join (the
+    `embedding_near_dup_pairs` shape with data-dependent buckets); components
+    via min-label propagation; the final subtraction is a broadcast LEFT ANTI
+    — the corpus is scanned once and never shuffled.
+    """
+    from pyspark.sql import Window
+
+    from change_data_capturer_ms_spark.functions.hashing2 import md5_long56
+    from change_data_capturer_ms_spark.operators.dedup_docs import (
+        duplicate_clusters,
+    )
+
+    c = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    hashed = c.withColumn("h", md5_long56(F.col("id").cast("string")))
+    wc = Window.orderBy("h", "id")
+    cent = (
+        hashed.orderBy("h", "id").limit(n_cells)
+        .select((F.row_number().over(wc) - 1).alias("cell"),
+                F.col("v").alias("centroid"))
+    )
+    dist = F.sqrt(F.aggregate(
+        F.zip_with(F.col("v"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    assigned = (
+        c.crossJoin(F.broadcast(cent))
+        .withColumn("dist", dist)
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("id").orderBy("dist", "cell")))
+        .filter(F.col("rn") == 1)
+        .select("id", "v", "cell")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell"))
+               & (F.col("a.id") < F.col("b.id")))
+        .withColumn("cosine", F.round(cosine_sim(F.col("a.v"), F.col("b.v")), 6))
+        .filter(F.col("cosine") >= tau)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    clusters = duplicate_clusters(pairs, max_iter=max_iter)
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select("id")
+    return df.join(F.broadcast(losers), df[id_col] == losers.id, "left_anti")
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.99,

@@ -241,6 +241,96 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     return picked
 
 
+def repetition_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_top: int = 2,
+    gram_dup: int = 5,
+) -> DataFrame:
+    """Within-document repetition metrics (the Gopher quality-filter family,
+    Rae et al. 2021 "Scaling Language Models: ... Gopher", Table A1): the
+    repeated-content signals used to drop machine-generated / boilerplate
+    documents from a training corpus.
+
+    Per document:
+      - n_lines             : non-empty newline-separated lines
+      - dup_line_frac       : fraction of line occurrences whose line value
+                              appears more than once in the doc
+      - dup_line_char_frac  : same, weighted by line characters
+      - top_g{gram_top}_frac: occurrences of the single most frequent word
+                              gram_top-gram / total gram_top-grams
+      - dup_g{gram_dup}_frac: fraction of gram_dup-gram occurrences whose gram
+                              appears more than once in the doc
+    Gram fractions are NULL for docs too short to form a gram.
+
+    Plan shape: ONE scan — lines and both gram families are concatenated into
+    a single array<struct<kind,tok>> and exploded once; then two hash
+    aggregations, both keyed on the doc id (the second re-uses the first's
+    partitioning, so one shuffle ends up doing all the work). No UDF, no join,
+    no window; per-doc group sizes are bounded by document length, so there is
+    no skew a hot KEY could create at 100 TB — only a pathologically long
+    single document, which upstream length filters bound first.
+    """
+    words = F.split(F.col(text_col), " ")
+
+    def grams(n: int) -> Column:
+        g = F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+        # sequence(0, k) DESCENDS when k < 0 — guard short docs to empty
+        return F.when(F.size(words) >= n, g).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda x: x != "")
+
+    def tag(kind: str, arr: Column) -> Column:
+        return F.transform(
+            arr, lambda x: F.struct(F.lit(kind).alias("kind"), x.alias("tok"))
+        )
+
+    combined = F.concat(
+        tag("line", lines),
+        tag("gt", grams(gram_top)),
+        tag("gd", grams(gram_dup)),
+    )
+    tok = df.select(F.col(id_col).alias("id"), F.explode(combined).alias("t")).select(
+        "id", F.col("t.kind").alias("kind"), F.col("t.tok").alias("tok")
+    )
+    per_tok = tok.groupBy("id", "kind", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    chars = F.col("cnt") * F.length("tok")
+    is_line = F.col("kind") == "line"
+    is_gt = F.col("kind") == "gt"
+    is_gd = F.col("kind") == "gd"
+    dup = F.col("cnt") > 1
+    zero = F.lit(0).cast("long")
+
+    def csum(cond, val) -> Column:
+        return F.sum(F.when(cond, val).otherwise(zero))
+
+    agg = per_tok.groupBy("id").agg(
+        csum(is_line, F.col("cnt")).alias("n_lines"),
+        csum(is_line & dup, F.col("cnt")).alias("_dl"),
+        csum(is_line, chars).alias("_lc"),
+        csum(is_line & dup, chars).alias("_dlc"),
+        csum(is_gt, F.col("cnt")).alias("_gt_n"),
+        F.max(F.when(is_gt, F.col("cnt"))).alias("_gt_max"),
+        csum(is_gd, F.col("cnt")).alias("_gd_n"),
+        csum(is_gd & dup, F.col("cnt")).alias("_gd_dup"),
+    )
+    frac = lambda num, den: F.round(num / F.nullif(den, F.lit(0)), 6)  # noqa: E731
+    return agg.select(
+        "id",
+        F.col("n_lines").cast("int").alias("n_lines"),
+        frac(F.col("_dl"), F.col("n_lines")).alias("dup_line_frac"),
+        frac(F.col("_dlc"), F.col("_lc")).alias("dup_line_char_frac"),
+        frac(F.col("_gt_max"), F.col("_gt_n")).alias(f"top_g{gram_top}_frac"),
+        frac(F.col("_gd_dup"), F.col("_gd_n")).alias(f"dup_g{gram_dup}_frac"),
+    )
+
+
 # -- PII redaction ------------------------------------------------------------
 
 # Deliberately simple, auditable patterns (a production deployment swaps in its

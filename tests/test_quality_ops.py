@@ -1,0 +1,130 @@
+"""Repetition profile (Gopher filters), benchmark decontamination, SemDeDup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from change_data_capturer_ms_spark.operators import (
+    contamination_check,
+    decontaminate,
+    repetition_profile,
+    semdedup,
+)
+
+
+# -- repetition_profile --------------------------------------------------------
+
+def test_repetition_profile_hand_checked(spark):
+    docs = [
+        # 4 lines, "dup dup" line twice -> dup_line_frac = 2/4
+        (0, "dup dup\nuniq one\ndup dup\nuniq two"),
+        # all lines distinct
+        (1, "a b c\nd e f"),
+        # heavy 2-gram repetition: "x y" appears 4x out of 7 2-grams
+        (2, "x y x y x y x y"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r["id"]: r for r in repetition_profile(df).collect()}
+
+    r0 = rows[0]
+    assert r0["n_lines"] == 4
+    assert r0["dup_line_frac"] == pytest.approx(0.5)
+    # dup lines carry 2*7=14 chars of 7+8+7+8=30
+    assert r0["dup_line_char_frac"] == pytest.approx(round(14 / 30, 6))
+
+    r1 = rows[1]
+    assert r1["dup_line_frac"] == 0.0
+    assert r1["dup_line_char_frac"] == 0.0
+
+    r2 = rows[2]
+    # 2-grams of 8 words: 7 occurrences; "x y" x4 is the top
+    assert r2["top_g2_frac"] == pytest.approx(round(4 / 7, 6))
+    # 5-grams: 4 occurrences, "x y x y x" x2 and "y x y x y" x2 -> all dup
+    assert r2["dup_g5_frac"] == pytest.approx(1.0)
+
+
+def test_repetition_profile_short_doc_null_grams(spark):
+    df = spark.createDataFrame([(0, "only three words")], "doc_id long, text string")
+    r = repetition_profile(df, gram_dup=5).collect()[0]
+    assert r["n_lines"] == 1
+    assert r["top_g2_frac"] is not None       # 2 grams exist
+    assert r["dup_g5_frac"] is None           # < 5 words -> no 5-grams
+
+
+def test_repetition_profile_single_scan_plan(spark):
+    """One generator explode, no join — the single-scan shape."""
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = repetition_profile(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Generate") == 1
+    assert "Join" not in plan
+
+
+# -- contamination -------------------------------------------------------------
+
+def _corpus(spark):
+    return spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog today"),
+            (1, "completely different words with no overlap whatsoever here now"),
+            (2, "quick brown fox jumps over the lazy dog again ok"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def _evalset(spark):
+    # one benchmark item sharing an 8-gram run with docs 0 and 2
+    return spark.createDataFrame(
+        [(100, "quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+
+
+def test_contamination_check_flags_overlap(spark):
+    out = {r["id"]: r for r in
+           contamination_check(_corpus(spark), _evalset(spark), n=8).collect()}
+    assert out[0]["n_contaminated"] > 0
+    assert out[2]["n_contaminated"] > 0
+    assert out[1]["n_contaminated"] == 0
+    assert out[1]["contamination_frac"] == 0.0
+    assert out[0]["n_eval_docs"] == 1
+    # frac consistency
+    for r in out.values():
+        assert r["contamination_frac"] == pytest.approx(
+            round(r["n_contaminated"] / r["n_shingles"], 6))
+
+
+def test_decontaminate_drops_flagged_docs(spark):
+    kept = decontaminate(_corpus(spark), _evalset(spark), n=8, max_frac=0.0)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1]
+
+
+def test_contamination_eval_side_is_broadcast(spark):
+    plan = contamination_check(_corpus(spark), _evalset(spark), n=8) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+# -- semdedup ------------------------------------------------------------------
+
+def test_semdedup_keeps_min_id_per_semantic_group(spark):
+    # two tight groups of near-identical vectors + one singleton
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.001, 0.0, 0.0]),
+        (2, [0.998, 0.002, 0.0, 0.0]),
+        (10, [0.0, 1.0, 0.0, 0.0]),
+        (11, [0.0, 0.999, 0.001, 0.0]),
+        (20, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = sorted(r["vec_id"] for r in
+                  semdedup(df, tau=0.999, n_cells=3).collect())
+    # min-id survivor per group: {0,1,2}->0, {10,11}->10, {20}->20
+    assert kept == [0, 10, 20]
+
+
+def test_semdedup_no_pairs_is_identity(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = sorted(r["vec_id"] for r in semdedup(df, tau=0.999, n_cells=2).collect())
+    assert kept == [0, 1, 2, 3]
