@@ -44,7 +44,7 @@ HEADLINE = [
     "join_multiway",
     "agg_pricing_summary",
     "window_tumbling",
-    "dedup_minhash_lsh",
+    "dedup_pair_mining",
     "embed_knn_methods",
     "multimodal_pipeline",
 ]

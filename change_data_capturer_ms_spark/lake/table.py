@@ -1483,8 +1483,17 @@ class LakeTable:
         import time as _time
 
         cur = self.manifest()
-        keep_versions = [v for v in range(max(0, cur.version - keep_last + 1),
-                                          cur.version + 1)]
+        # walk the ancestry (parent pointers), not a contiguous version range:
+        # versions allocate from a global counter once branches exist, so the
+        # last keep_last ANCESTORS are not the last keep_last numbers
+        keep_versions: list[int] = []
+        v: int | None = cur.version
+        while v is not None and len(keep_versions) < keep_last:
+            keep_versions.append(v)
+            try:
+                v = self.store.load(v).parent
+            except FileNotFoundError:
+                break
         # tagged versions AND branch heads are pinned (Iceberg ref retention);
         # a branch's intermediate ancestry is not — fast_forward/publish
         # before expiring, or keep_last covers it on a linear history

@@ -50,8 +50,13 @@ def max_shrink_fraction(limit: float):
         version = result.get("version")
         if version is None or version <= 0:
             return True
-        now = sum(f.rows for f in table.manifest(version).files)
-        before = sum(f.rows for f in table.manifest(version - 1).files)
+        m = table.manifest(version)
+        if m.parent is None:
+            return True
+        now = sum(f.rows for f in m.files)
+        # ancestry parent, not version-1: versions allocate from a global
+        # counter once branches exist
+        before = sum(f.rows for f in table.manifest(m.parent).files)
         if before and (before - now) / before > limit:
             return (f"table shrank {before}→{now} rows "
                     f"(> {limit:.0%} of parent)")

@@ -92,6 +92,7 @@ class CDCPipeline:
         monitor_cols: list[str] | None = None,
         monitor_top_k: int = 20,
         audit_fn=None,
+        wap_branch: str | None = None,
     ):
         self.spark = spark
         self.reader = ChangeLogReader(spark, log_path)
@@ -122,6 +123,16 @@ class CDCPipeline:
         # quarantines the batch rows for replay_quarantine. Iceberg's
         # WAP / branch-validate-publish pattern on the engine's own primitives.
         self.audit_fn = audit_fn
+        # wap_branch (requires audit_fn): stage each micro-batch's MERGE on a
+        # BRANCH cut at the main head, audit the branch, and publish via
+        # metadata-only fast_forward — main never exposes an unaudited
+        # snapshot, not even transiently (the rollback-shaped gate above
+        # commits to main first, so a concurrent reader could glimpse the
+        # rejected snapshot between commit and rollback). Iceberg's
+        # branch-WAP layout proper; a failed audit just drops the branch.
+        if wap_branch is not None and audit_fn is None:
+            raise ValueError("wap_branch requires audit_fn")
+        self.wap_branch = wap_branch
         self.lease_dir = os.path.join(table.path, "_lease")
 
     # -- lease (inspectable resume state) ------------------------------------
@@ -188,6 +199,22 @@ class CDCPipeline:
 
     # -- apply ----------------------------------------------------------------
 
+    def _quarantine_audit_reject(self, batch_df: DataFrame, batch_id,
+                                 reason: str) -> None:
+        """Audit-rejected batch rows go to the DLQ for replay_quarantine; with
+        no DLQ configured, refuse loudly rather than drop the batch silently."""
+        if self.quarantine_dir:
+            captured = batch_df.filter(F.col("op").isin(*self.cfg.captured_ops))
+            (captured
+             .withColumn("_reasons", F.array(F.lit(f"audit:{reason}")))
+             .withColumn("_batch_id", F.lit(batch_id))
+             .write.mode("append").parquet(self.quarantine_dir))
+        else:
+            raise RuntimeError(
+                f"audit failed for batch {batch_id} ({reason}) and no "
+                "quarantine_dir is configured — refusing to drop the "
+                "batch silently")
+
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> dict:
         """foreachBatch body: [validate →] prepare → merge (idempotent) → lease."""
         if self.quarantine_dir:
@@ -246,8 +273,7 @@ class CDCPipeline:
             for r in rows if r["gid"] == 2
         ]
 
-        result = self.table.merge(
-            prepared,
+        merge_kwargs = dict(
             seq_col="seq",
             op_col="op",
             batch_id=batch_id,
@@ -256,27 +282,47 @@ class CDCPipeline:
             lineage=lineage,
             planning_stats=planning_stats,
         )
-        if self.audit_fn is not None and not result.get("skipped"):
+        if self.wap_branch is not None:
+            # branch-WAP proper: stage the merge on a branch cut at the main
+            # head (dropping any stale ref a previously rejected batch left),
+            # audit the BRANCH, publish metadata-only via fast_forward. Main
+            # never exposes an unaudited snapshot, not even transiently; a
+            # failed audit costs one dropped ref, no rollback commit. A crash
+            # after fast_forward redelivers the batch, which no-ops on the
+            # published ledger (exactly-once preserved).
+            self.table.drop_branch(self.wap_branch)
+            self.table.create_branch(self.wap_branch)
+            staged = self.table.branch(self.wap_branch)
+            result = staged.merge(prepared, **merge_kwargs)
+            if not result.get("skipped"):
+                verdict = self.audit_fn(staged, result)
+                if verdict is not None and verdict is not True:
+                    reason = ("audit rejected batch" if verdict is False
+                              else str(verdict))
+                    main_v = self.table.manifest().version
+                    self.table.drop_branch(self.wap_branch)
+                    self._quarantine_audit_reject(batch_df, batch_id, reason)
+                    return {"skipped": False, "audit_failed": True,
+                            "reason": reason, "version": main_v,
+                            "batch_id": batch_id,
+                            "metrics": {"rows": 0, "upserts": 0, "deletes": 0}}
+            self.table.fast_forward(self.wap_branch)
+            self.table.drop_branch(self.wap_branch)
+        else:
+            result = self.table.merge(prepared, **merge_kwargs)
+        if (self.wap_branch is None and self.audit_fn is not None
+                and not result.get("skipped")):
             verdict = self.audit_fn(self.table, result)
             if verdict is not None and verdict is not True:
                 reason = "audit rejected batch" if verdict is False else str(verdict)
-                parent = int(result["version"]) - 1
+                # the merge's parent from the manifest ancestry, NOT version-1:
+                # versions allocate from a global counter once branches exist
+                parent = self.table.manifest(int(result["version"])).parent
                 self.table.rollback(version=parent)
                 restored = self.table.lease()
                 if restored:  # empty ⇒ rolled back to the pre-first-batch table
                     self._write_lease(restored)  # sidecar follows the table
-                if self.quarantine_dir:
-                    captured = batch_df.filter(
-                        F.col("op").isin(*self.cfg.captured_ops))
-                    (captured
-                     .withColumn("_reasons", F.array(F.lit(f"audit:{reason}")))
-                     .withColumn("_batch_id", F.lit(batch_id))
-                     .write.mode("append").parquet(self.quarantine_dir))
-                else:
-                    raise RuntimeError(
-                        f"audit failed for batch {batch_id} ({reason}) and no "
-                        "quarantine_dir is configured — refusing to drop the "
-                        "batch silently")
+                self._quarantine_audit_reject(batch_df, batch_id, reason)
                 return {"skipped": False, "audit_failed": True, "reason": reason,
                         "version": parent, "batch_id": batch_id,
                         "metrics": {"rows": 0, "upserts": 0, "deletes": 0}}

@@ -12,14 +12,14 @@ from change_data_capturer_ms_spark.streaming.pipeline import CDCPipeline
 from tests.test_invariants import _state
 
 
-def _pipe_audit(spark, tmpdir_path, audit_fn, quarantine=True):
+def _pipe_audit(spark, tmpdir_path, audit_fn, quarantine=True, wap_branch=None):
     table = LakeTable(spark, f"{tmpdir_path}/table", key_cols=["repo", "path"],
                       n_buckets=8)
     return CDCPipeline(
         spark, f"{tmpdir_path}/log", table, f"{tmpdir_path}/ckpt",
         cfg=EngineConfig(n_buckets=8), use_pandas_udfs=False,
         quarantine_dir=f"{tmpdir_path}/dlq" if quarantine else None,
-        audit_fn=audit_fn,
+        audit_fn=audit_fn, wap_branch=wap_branch,
     )
 
 
@@ -107,6 +107,52 @@ def test_passing_audit_is_transparent(spark, tmpdir_path):
     assert _state(audited.table).equals(_state(plain.table))
 
 
+# -- branch-WAP mode (wap_branch): stage on a branch, publish by fast-forward --
+
+def test_wap_branch_mode_converges_with_rollback_mode(spark, tmpdir_path):
+    """Same batches, same audit: the branch-staged gate must end in the same
+    table state and lease as the rollback-shaped gate — pass and fail alike.
+    Difference under the hood: main's snapshot history never contains the
+    rejected merge at all (no transient unaudited snapshot)."""
+    full = gen_changelog(spark, 3000, seed=55, n_repos=10, paths_per_repo=5)
+    b0 = full.filter(F.col("seq") < 1000)
+    b1 = full.filter((F.col("seq") >= 1000) & (F.col("seq") < 2000))  # bad
+    b2 = full.filter(F.col("seq") >= 2000)
+
+    wap = _pipe_audit(spark, tmpdir_path, _bad_window_audit, wap_branch="audit")
+    rb = _pipe_audit(spark, f"{tmpdir_path}/rb", _bad_window_audit)
+    for pipe in (wap, rb):
+        r0 = pipe.apply_batch(b0, batch_id=0)
+        assert not r0.get("audit_failed")
+        r1 = pipe.apply_batch(b1, batch_id=1)
+        assert r1.get("audit_failed") and "incident-window" in r1["reason"]
+        assert not pipe.table.is_batch_committed("changelog", 1)
+        r2 = pipe.apply_batch(b2, batch_id=2)
+        assert not r2.get("audit_failed")
+    s_w, s_r = _state(wap.table), _state(rb.table)
+    assert list(s_w["content_sha256"]) == list(s_r["content_sha256"])
+    assert wap.table.lease()["lease"] == rb.table.lease()["lease"]
+    # both DLQs captured the rejected batch
+    assert spark.read.parquet(f"{tmpdir_path}/dlq").count() > 0
+    # no stale staging ref left behind
+    assert "audit" not in wap.table.branches()
+    # main history never saw the rejected snapshot: every retained main
+    # ancestor passes the audit window check
+    v = wap.table.manifest().version
+    while v is not None:
+        m = wap.table.manifest(v)
+        ms = m.lease.get("metrics", {}).get("max_seq")
+        assert ms is None or not (1000 <= int(ms) < 2000)
+        v = m.parent
+
+
+def test_wap_branch_requires_audit_fn(spark, tmpdir_path):
+    table = LakeTable(spark, f"{tmpdir_path}/t2", key_cols=["repo", "path"])
+    with pytest.raises(ValueError, match="wap_branch requires audit_fn"):
+        CDCPipeline(spark, f"{tmpdir_path}/log", table, f"{tmpdir_path}/ck",
+                    wap_branch="audit")
+
+
 # -- ready-made audit helpers (streaming/audits.py) — metadata-only, no Spark --
 
 class _File:
@@ -122,6 +168,7 @@ class _FakeTable:
     def manifest(self, version=None):
         m = type("M", (), {})()
         m.files = [_File(r) for r in self._rows[version]]
+        m.parent = version - 1 if version else None  # linear fake history
         return m
 
 
