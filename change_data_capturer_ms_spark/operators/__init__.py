@@ -68,6 +68,7 @@ from change_data_capturer_ms_spark.operators.packing import (
 from change_data_capturer_ms_spark.operators.sampling import (
     hash_sample,
     hash_split,
+    mix_corpora,
     stratified_sample_exact,
 )
 from change_data_capturer_ms_spark.operators.delta import (
@@ -115,7 +116,7 @@ __all__ = [
     "doc_fingerprint", "lang_id_builtin", "lang_id_pandas", "quality_scores",
     "redact_pii", "repetition_profile", "text_profile", "tfidf_top_terms", "token_count_bpe_ish", "token_count_ws", "winnow_fingerprints",
     "extract_media_features", "frame_sample", "synth_media",
-    "hash_sample", "hash_split", "stratified_sample_exact",
+    "hash_sample", "hash_split", "mix_corpora", "stratified_sample_exact",
     "contamination_check", "decontaminate",
     "pack_bins_greedy", "pack_concat_chunks",
     "change_deltas", "content_change_audit", "scd2_history", "snapshot_diff",

@@ -91,6 +91,48 @@ def hash_sample(df: DataFrame, key_col: str, fraction: float,
     return df.filter(_key_bucket(key_col, salt) < F.lit(int(round(fraction * _BUCKETS))))
 
 
+def mix_corpora(
+    sources: dict[str, tuple[DataFrame, float]],
+    key_col: str,
+    salt: str = "mix",
+    out_col: str = "mix_source",
+) -> DataFrame:
+    """Deterministic training-data mixture: per-source sampling rates applied
+    by key hash, unioned by name, each row tagged with its source.
+
+    `sources` maps name → (frame, rate) where rate ∈ [0, 1] is the FRACTION
+    OF THAT SOURCE to keep (how published data mixtures are specified — e.g.
+    books at 2.0 epochs is expressed upstream as repetition, downsampling web
+    to 30% is rate=0.3 here). Rates are per-source, deliberately NOT
+    normalized across sources: normalizing would make one source's rate
+    depend on another's size, breaking incremental re-runs.
+
+    Determinism: membership is a pure function of (salt ⊕ source name ⊕ key),
+    so re-runs, retries and repartitions keep the same rows, and the same key
+    in two sources is decided INDEPENDENTLY per source (namespaced salt) —
+    no accidental correlation between sources' samples.
+
+    Scale shape: one no-shuffle filter per source + unionByName
+    (allowMissingColumns — additive schema differences tolerated, absent
+    columns NULL). No UDF, no window; at 100 TB the union is purely logical
+    (each source's files scan with its own pushed filter).
+    """
+    frames = []
+    for name, (df, rate) in sources.items():
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"mix rate for {name!r} must be in [0, 1], got {rate}")
+        frames.append(
+            hash_sample(df, key_col, rate, salt=f"{salt}:{name}")
+            .withColumn(out_col, F.lit(name))
+        )
+    if not frames:
+        raise ValueError("mix_corpora: no sources given")
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
+
+
 def stratified_sample_exact(df: DataFrame, strata_cols: Sequence[str], key_col: str,
                             fraction: float, salt: str = "sample") -> DataFrame:
     """EXACT ceil(fraction * n) rows per stratum, deterministically chosen by

@@ -128,3 +128,38 @@ def test_semdedup_no_pairs_is_identity(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     kept = sorted(r["vec_id"] for r in semdedup(df, tau=0.999, n_cells=2).collect())
     assert kept == [0, 1, 2, 3]
+
+
+# -- mix_corpora ---------------------------------------------------------------
+
+def test_mix_corpora_deterministic_and_tagged(spark):
+    from change_data_capturer_ms_spark.operators import mix_corpora
+
+    web = spark.createDataFrame([(i, f"w{i}") for i in range(400)],
+                                "doc_id long, text string")
+    books = spark.createDataFrame([(i, f"b{i}", "en") for i in range(100)],
+                                  "doc_id long, text string, lang string")
+    mixed = mix_corpora({"web": (web, 0.3), "books": (books, 1.0)}, "doc_id")
+    rows = mixed.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["mix_source"], []).append(r)
+    # full-rate source kept entirely; downsampled source near its rate
+    assert len(by_src["books"]) == 100
+    assert 0.15 <= len(by_src["web"]) / 400 <= 0.45
+    # additive schema: web rows carry NULL lang
+    assert all(r["lang"] is None for r in by_src["web"])
+    assert all(r["lang"] == "en" for r in by_src["books"])
+    # determinism: a re-built, repartitioned input picks the SAME web rows
+    again = mix_corpora({"web": (web.repartition(7), 0.3)}, "doc_id")
+    assert sorted(r["doc_id"] for r in again.collect()) == \
+        sorted(r["doc_id"] for r in by_src["web"])
+
+
+def test_mix_corpora_validates_rates(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    from change_data_capturer_ms_spark.operators import mix_corpora
+    with pytest.raises(ValueError, match="must be in"):
+        mix_corpora({"a": (df, 1.5)}, "doc_id")
+    with pytest.raises(ValueError, match="no sources"):
+        mix_corpora({}, "doc_id")
