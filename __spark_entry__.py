@@ -651,7 +651,13 @@ def q_dedup_pair_mining(spark, sf_dir):
     (id_a < id_b) near-dup miners over documents, src-tagged: the exact
     capped-DF shingle-join baseline next to the banded-LSH sublinear path.
     `shared` (shingle overlap count) only exists for the exact method; NULL
-    for minhash on both engines."""
+    for minhash on both engines.
+
+    src='component' rows fold in connected components over the union of both
+    miners' pairs (operators/graph.py large-star/small-star): id_a = member,
+    id_b = component root (min reachable id), shared = component size — the
+    transitive-closure step pair mining alone can't express. The DuckDB
+    oracle rederives it exactly with a recursive CTE (min reachable id)."""
     docs = _t(spark, sf_dir, "documents")
     jac = ngram_jaccard_pairs(docs, threshold=0.5, df_cap=1000).select(
         F.lit("jaccard").alias("src"), "id_a", "id_b",
@@ -663,7 +669,18 @@ def q_dedup_pair_mining(spark, sf_dir):
         F.lit(None).cast("long").alias("shared"),
         F.col("est_jaccard").alias("sim"),
     )
-    return jac.unionByName(mh)
+    pairs = jac.unionByName(mh)
+    from change_data_capturer_ms_spark.operators import (
+        component_stats, connected_components)
+    cc = connected_components(pairs.select("id_a", "id_b"))
+    comp = cc.join(component_stats(cc), "component").select(
+        F.lit("component").alias("src"),
+        F.col("id").alias("id_a"),
+        F.col("component").alias("id_b"),
+        F.col("n_members").alias("shared"),
+        F.lit(None).cast("double").alias("sim"),
+    )
+    return pairs.unionByName(comp)
 
 
 def q_contamination_check(spark, sf_dir):
@@ -1259,7 +1276,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_pair_mining": (
             # r2 fold: exact capped-DF shingle join (src='jaccard') UNION the
-            # banded-LSH estimate (src='minhash'); `shared` is NULL for minhash
+            # banded-LSH estimate (src='minhash'); `shared` is NULL for minhash.
+            # src='component' = connected components over both miners' pairs:
+            # root = MIN reachable id (recursive CTE mirrors the large-star/
+            # small-star fixpoint exactly), shared = component size.
+            "WITH RECURSIVE pairs AS ("
             "SELECT 'jaccard' AS src, id_a, id_b, shared, jaccard AS sim FROM ("
             "WITH " + _SHINGLES_CTE.format(n=3, nm1=2) + ", "
             # df cap mirror: shingles in > 1000 docs are excluded from the JOIN
@@ -1282,6 +1303,19 @@ def oracle_sql() -> dict[str, str]:
             + f", cand AS ({lsh_union}) "
             + f"SELECT id_a, id_b, ROUND(({agree}) / {float(k)}, 6) AS est_jaccard "
             + f"FROM cand WHERE ROUND(({agree}) / {float(k)}, 6) >= 0.5)"
+            "), "
+            "edges AS (SELECT id_a AS u, id_b AS v FROM pairs "
+            "  UNION SELECT id_b, id_a FROM pairs), "
+            "reach(id, r) AS ("
+            "  SELECT u, u FROM edges"
+            "  UNION"
+            "  SELECT e.v, reach.r FROM edges e JOIN reach ON reach.id = e.u), "
+            "comp AS (SELECT id, MIN(r) AS root FROM reach GROUP BY id), "
+            "csize AS (SELECT root, COUNT(*) AS n FROM comp GROUP BY root) "
+            "SELECT * FROM pairs UNION ALL "
+            "SELECT 'component' AS src, comp.id AS id_a, comp.root AS id_b, "
+            "csize.n::BIGINT AS shared, NULL::DOUBLE AS sim "
+            "FROM comp JOIN csize ON comp.root = csize.root"
         ),
         "minhash_signatures": _minhash_sig_sql() + " SELECT * FROM sig",
         "contamination_check": (

@@ -1,0 +1,137 @@
+"""Connected components over a pair graph — the step that turns near-dup PAIR
+mining (dedup_docs.py / similarity.py emit `(id_a, id_b)` candidates) into
+duplicate GROUPS with one canonical survivor each. Without it a transitive
+chain a~b~c dedups to two docs instead of one.
+
+Algorithm: alternating large-star / small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) — the shuffle-native formulation:
+each round is one groupBy(min) + one join, no vertex-program framework needed,
+and it converges in O(log² n) rounds even on pathological long chains (naive
+min-label propagation needs O(diameter) rounds, which on a 100 TB crawl with
+chained near-dups is the difference between 8 rounds and 800).
+
+Scale shape per round: groupBy(u).min(v) is a partial-aggregatable shuffle on
+the node id; the join back is on the same key so AQE reuses the exchange. Edge
+frames are `localCheckpoint()`-ed each round — iterative plans otherwise grow
+lineage exponentially and stall the optimizer (on a real cluster prefer
+`sparkContext.setCheckpointDir` + `checkpoint()` so blocks survive executor
+loss; localCheckpoint is the single-JVM equivalent).
+
+Reference parity note: the reference (pagopa/change-data-capturer-ms) has no
+graph step — this extends the engine's training-data surface the way its
+pair miners already do (SURVEY.md §2.2 extras).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Orient every edge (greater, smaller), drop self-loops, distinct."""
+    u, v = F.col("u"), F.col("v")
+    return (
+        edges.filter(u != v)
+        .select(F.greatest(u, v).alias("u"), F.least(u, v).alias("v"))
+        .distinct()
+    )
+
+
+def _large_star(e_dir: DataFrame) -> DataFrame:
+    """Large-star round: for each node u, connect every strictly-greater
+    neighbor to min(Γ⁺(u)). Input oriented (u > v); output oriented too
+    (emitted (v, m) always has v > u ≥ m)."""
+    sym = e_dir.union(
+        e_dir.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(
+            F.col("v").alias("u"),
+            F.least(F.col("u"), F.col("mn")).alias("v"),
+        )
+        .distinct()
+    )
+
+
+def _small_star(e_dir: DataFrame) -> DataFrame:
+    """Small-star round: for each node u with smaller-neighbor set N(u),
+    m = min(N(u)); connect u and every other member of N(u) to m."""
+    mins = e_dir.groupBy("u").agg(F.min("v").alias("m"))
+    moved = (
+        e_dir.join(mins, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_edge = mins.select("u", F.col("m").alias("v"))
+    return moved.union(self_edge).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Label every node that appears in `pairs` with its component id — the
+    MINIMUM node id reachable from it (so labels are deterministic and the
+    root is itself a member). Returns columns `(id, component)`.
+
+    Nodes with no pair never appear in the input and are absent from the
+    output by contract (a left join downstream treats NULL component as
+    "singleton"); `dedup_keep_canonical` handles that for the corpus case.
+
+    `max_iter` is a safety bound: O(log² n) convergence means 30 rounds
+    covers any graph this engine will ever see; non-convergence raises
+    rather than returning a partial labeling.
+    """
+    e = _canon(pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    e = e.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # fixpoint: both frames are materialized checkpoints, so the two
+        # anti-joins below are cheap; count-equality alone is NOT sufficient
+        # (a round can swap edges without changing the count)
+        if (
+            nxt.count() == e.count()
+            and nxt.join(e, ["u", "v"], "left_anti").isEmpty()
+        ):
+            e = nxt
+            break
+        e = nxt
+    else:
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_iter} rounds"
+        )
+    members = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    roots = e.select(F.col("v").alias("id"), F.col("v").alias("component"))
+    return members.union(roots).distinct()
+
+
+def component_stats(labels: DataFrame) -> DataFrame:
+    """Per-component size over a `(id, component)` labeling — one
+    partial-aggregatable groupBy. Columns `(component, n_members)`."""
+    return labels.groupBy("component").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+
+
+def dedup_keep_canonical(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+    src: str = "id_a", dst: str = "id_b",
+) -> DataFrame:
+    """The end-to-end corpus dedup: drop every doc in a duplicate component
+    except its min-id root; docs in no pair (singletons) pass through.
+
+    Scale shape: the loser list is one row per NON-canonical duplicate —
+    tiny next to the corpus even at 30% dup rates after pair mining already
+    thresholded — so Spark broadcasts the anti-join side and the corpus
+    never shuffles.
+    """
+    cc = connected_components(pairs, src=src, dst=dst)
+    losers = cc.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(F.broadcast(losers), id_col, "left_anti")
