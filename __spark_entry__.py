@@ -794,15 +794,23 @@ def q_text_quality_langid(spark, sf_dir):
     (doc_fingerprint: one shingle explode + agg) and the Gopher repetition
     metrics (repetition_profile: one tagged explode + two aggs). Later r2
     fold of text_quality + text_langid + doc_fingerprint + repetition —
-    all per-doc grain, so the joins are key-co-partitioned."""
+    all per-doc grain, so the joins are key-co-partitioned. Final fold:
+    gopher_filter appends the published-threshold keep/drop decision +
+    comma-joined failure reasons (pure projection over the profile)."""
     docs = _t(spark, sf_dir, "documents")
     fp = doc_fingerprint(docs, n=4).withColumnRenamed("id", "doc_id")
     rep = repetition_profile(docs).withColumnRenamed("id", "doc_id")
-    return (
+    prof = (
         text_profile(docs)
         .join(fp, "doc_id", "left")
         .join(rep, "doc_id", "left")
     )
+    # gopher_filter fold (operators/text.py): published-threshold keep/drop
+    # decision over the profile columns; drop_reasons exported comma-joined
+    # (driver value-hash convention — scalar columns both sides)
+    from change_data_capturer_ms_spark.operators import gopher_filter
+    out = gopher_filter(prof)
+    return out.withColumn("drop_reasons", F.concat_ws(",", "drop_reasons"))
 
 
 def q_scd2_history(spark, sf_dir):
@@ -1455,6 +1463,24 @@ def oracle_sql() -> dict[str, str]:
             "WHERE ROUND(list_cosine_similarity(a.v, bb.v), 6) >= 0.3"
         ),
         "text_quality_langid": (
+            # outer layers = gopher_filter mirror: failed-rule tags (NULL
+            # metrics PASS — COALESCE false, same as the Spark operator),
+            # comma-joined reasons + keep boolean over the profile columns
+            "SELECT q2.* EXCLUDE (reasons_list), "
+            # DuckDB: array_to_string(empty list) is NULL, Spark concat_ws is ''
+            "COALESCE(array_to_string(reasons_list, ','), '') AS drop_reasons, "
+            "len(reasons_list) = 0 AS keep FROM ("
+            "SELECT q.*, list_filter(["
+            "CASE WHEN COALESCE(q.n_tokens < 50 OR q.n_tokens > 100000, FALSE)"
+            "  THEN 'n_tokens' END, "
+            "CASE WHEN COALESCE(q.mean_tok_len < 3.0 OR q.mean_tok_len > 10.0, FALSE)"
+            "  THEN 'mean_tok_len' END, "
+            "CASE WHEN COALESCE(q.distinct_ratio < 0.1, FALSE) THEN 'low_diversity' END, "
+            "CASE WHEN COALESCE(q.dup_line_frac > 0.30, FALSE) THEN 'dup_lines' END, "
+            "CASE WHEN COALESCE(q.top_g2_frac > 0.20, FALSE) THEN 'top_2gram' END, "
+            "CASE WHEN COALESCE(q.dup_g5_frac > 0.30, FALSE) THEN 'dup_5gram' END, "
+            "CASE WHEN COALESCE(q.stopword_ratio <= 0, FALSE) THEN 'no_stopwords' END"
+            "], x -> x IS NOT NULL) AS reasons_list FROM ("
             "SELECT doc_id, LENGTH(text)::INT AS n_chars_m, "
             "len(regexp_split_to_array(trim(text), '\\s+'))::INT AS n_tokens, "
             "len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))::INT AS n_subtokens, "
@@ -1511,6 +1537,7 @@ def oracle_sql() -> dict[str, str]:
             "      AS dup_g5_frac"
             "  FROM per GROUP BY doc_id"
             ") rep ON documents.doc_id = rep.id"
+            ") q ) q2"
         ),
         "scd2_history": (
             "SELECT user_id, event_id, "

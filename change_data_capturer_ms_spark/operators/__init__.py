@@ -41,6 +41,8 @@ from change_data_capturer_ms_spark.operators.similarity import (
 )
 from change_data_capturer_ms_spark.operators.text import (
     doc_fingerprint,
+    gopher_filter,
+    gopher_rules,
     lang_id_builtin,
     redact_pii,
     text_profile,
@@ -118,7 +120,8 @@ __all__ = [
     "brute_force_topk", "cosine_sim", "embedding_near_dup_pairs", "ivf_topk",
     "ivf_topk_det", "lsh_topk", "normalize_embeddings",
     "pq_topk", "quantize_embeddings_int8", "dequantize_embeddings", "semdedup",
-    "doc_fingerprint", "lang_id_builtin", "lang_id_pandas", "quality_scores",
+    "doc_fingerprint", "gopher_filter", "gopher_rules",
+    "lang_id_builtin", "lang_id_pandas", "quality_scores",
     "redact_pii", "repetition_profile", "text_profile", "tfidf_top_terms", "token_count_bpe_ish", "token_count_ws", "winnow_fingerprints",
     "extract_media_features", "frame_sample", "synth_media",
     "hash_sample", "hash_split", "mix_corpora", "stratified_sample_exact",

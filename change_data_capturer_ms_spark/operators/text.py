@@ -331,6 +331,68 @@ def repetition_profile(
     )
 
 
+def gopher_rules(
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_tok: float = 3.0,
+    max_mean_tok: float = 10.0,
+    min_distinct: float = 0.1,
+    max_dup_line: float = 0.30,
+    max_top_g2: float = 0.20,
+    max_dup_g5: float = 0.30,
+    require_stopwords: bool = True,
+    require_lang: str | None = None,
+) -> list[tuple[str, Column]]:
+    """The Gopher quality-filter rule set (Rae et al. 2021, Table A1) as
+    (reason, fail-condition) pairs over the columns `text_profile` +
+    `repetition_profile` already compute. Thresholds are the published ones;
+    every condition is a plain comparison so the whole filter stays inside
+    whole-stage codegen and mirrors 1:1 into oracle SQL."""
+    rules: list[tuple[str, Column]] = [
+        ("n_tokens",
+         (F.col("n_tokens") < min_tokens) | (F.col("n_tokens") > max_tokens)),
+        ("mean_tok_len",
+         (F.col("mean_tok_len") < min_mean_tok)
+         | (F.col("mean_tok_len") > max_mean_tok)),
+        ("low_diversity", F.col("distinct_ratio") < min_distinct),
+        ("dup_lines", F.col("dup_line_frac") > max_dup_line),
+        ("top_2gram", F.col("top_g2_frac") > max_top_g2),
+        ("dup_5gram", F.col("dup_g5_frac") > max_dup_g5),
+    ]
+    if require_stopwords:
+        rules.append(("no_stopwords", F.col("stopword_ratio") <= 0))
+    if require_lang is not None:
+        rules.append(("lang", F.col("lang_guess") != require_lang))
+    return rules
+
+
+def gopher_filter(
+    profile: DataFrame,
+    rules: list[tuple[str, Column]] | None = None,
+    reasons_col: str = "drop_reasons",
+    keep_col: str = "keep",
+) -> DataFrame:
+    """Append `keep` + `drop_reasons` (array of failed rule names, declared
+    order) to a quality-profile frame — the decision step of the Gopher
+    pipeline, kept separate from the metric computation so the same profile
+    pass can be audited, re-thresholded, or A/B'd without a rescan.
+
+    NULL metric semantics: a NULL metric PASSES its rule (a doc too short to
+    form a 5-gram is not thereby repetitive) — conditions are coalesced to
+    false, so three-valued logic can't silently drop rows (the validate.py
+    lesson). Pure projection: no UDF, no shuffle, no join."""
+    if rules is None:
+        rules = gopher_rules()
+    tags = [
+        F.when(F.coalesce(cond, F.lit(False)), F.lit(name))
+        for name, cond in rules
+    ]
+    reasons = F.array_compact(F.array(*tags))
+    return profile.withColumn(reasons_col, reasons).withColumn(
+        keep_col, F.size(F.col(reasons_col)) == 0
+    )
+
+
 # -- PII redaction ------------------------------------------------------------
 
 # Deliberately simple, auditable patterns (a production deployment swaps in its
