@@ -1064,6 +1064,50 @@ class LakeTable:
 
     # -- maintenance ----------------------------------------------------------
 
+    def delete_where(
+        self,
+        filters: list[tuple] | None = None,
+        predicate=None,
+        batch_id: int | str = 0,
+        source_id: str = "delete-where",
+    ) -> dict:
+        """Predicate delete (GDPR erasure / retention sweeps): tombstone every
+        LIVE row matching the condition, through the same `merge_into` path as
+        any other mutation — deletes are CDC events (`read_incremental`
+        consumers see them propagate; `expire_tombstones` reclaims them once
+        the low-watermark passes), never in-place file surgery that downstream
+        replicas would silently miss.
+
+        `filters` takes the zone-map form `[(col, op, value)]` so candidate
+        files prune MANIFEST-side before any scan (`read_where`); `predicate`
+        takes an arbitrary Column for conditions zone maps can't serve (full
+        scan of live rows). At least one is required; both compose (AND).
+
+        Scale shape: the merge source is KEYS-ONLY (payload dropped before the
+        shuffle — the delete clause never reads source payload), and the merge
+        touches only buckets holding matches. Exactly-once: (source_id,
+        batch_id) goes through the ledger, so a retried erasure job is a no-op.
+        """
+        if filters is None and predicate is None:
+            raise ValueError("delete_where: need filters and/or predicate")
+        matches = (self.read_where(filters) if filters is not None
+                   else self.read())
+        if predicate is not None:
+            matches = matches.filter(predicate)
+        keys = self.manifest().key_cols
+        src = matches.select(*keys)
+        # live LWW state is key-unique by construction — skip the extra
+        # uniqueness-proof aggregation
+        return self.merge_into(
+            src,
+            when_matched_update=None,
+            when_matched_delete=True,
+            when_not_matched_insert=None,
+            batch_id=batch_id,
+            source_id=source_id,
+            validate_source_unique=False,
+        )
+
     def compact(self, target_file_bytes: int = 128 * 1024 * 1024,
                 min_files_per_bucket: int = 2,
                 sort_cols: list[str] | None = None,

@@ -93,6 +93,7 @@ class CDCPipeline:
         monitor_top_k: int = 20,
         audit_fn=None,
         wap_branch: str | None = None,
+        event_dedup_watermark: str | None = None,
     ):
         self.spark = spark
         self.reader = ChangeLogReader(spark, log_path)
@@ -133,6 +134,12 @@ class CDCPipeline:
         if wap_branch is not None and audit_fn is None:
             raise ValueError("wap_branch requires audit_fn")
         self.wap_branch = wap_branch
+        # at-least-once transport guard (operators/dedupe.py
+        # streaming_dedupe_within_watermark): drop events whose identity
+        # (`seq`) was already observed within the window, BEFORE the batch
+        # pipeline — redelivered events are harmless to LWW state but inflate
+        # metrics/audit/drift inputs and burn merge work
+        self.event_dedup_watermark = event_dedup_watermark
         self.lease_dir = os.path.join(table.path, "_lease")
 
     # -- lease (inspectable resume state) ------------------------------------
@@ -436,6 +443,13 @@ class CDCPipeline:
         checkpoint then stops (reference closeStream timeout semantics,
         mongo.ts:43-63, made deterministic)."""
         stream = self.reader.read_stream(max_files_per_trigger)
+        if self.event_dedup_watermark is not None:
+            from change_data_capturer_ms_spark.operators.dedupe import (
+                streaming_dedupe_within_watermark)
+
+            stream = streaming_dedupe_within_watermark(
+                stream, keys=["seq"], ts_col="ts",
+                watermark=self.event_dedup_watermark)
         query = (
             stream.writeStream.foreachBatch(
                 lambda df, bid: self.apply_batch(df, bid) and None
