@@ -72,6 +72,7 @@ from change_data_capturer_ms_spark.operators.sampling import (
     hash_split,
     mix_corpora,
     stratified_sample_exact,
+    weighted_hash_sample,
 )
 from change_data_capturer_ms_spark.operators.graph import (
     component_stats,
@@ -125,6 +126,7 @@ __all__ = [
     "redact_pii", "repetition_profile", "text_profile", "tfidf_top_terms", "token_count_bpe_ish", "token_count_ws", "winnow_fingerprints",
     "extract_media_features", "frame_sample", "synth_media",
     "hash_sample", "hash_split", "mix_corpora", "stratified_sample_exact",
+    "weighted_hash_sample",
     "component_stats", "connected_components", "dedup_keep_canonical",
     "contamination_check", "decontaminate",
     "pack_bins_greedy", "pack_concat_chunks",

@@ -91,6 +91,31 @@ def hash_sample(df: DataFrame, key_col: str, fraction: float,
     return df.filter(_key_bucket(key_col, salt) < F.lit(int(round(fraction * _BUCKETS))))
 
 
+def weighted_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str | Column,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic Poisson sampling with PER-ROW inclusion probability =
+    `weight_col` (clamped to [0, 1]) — quality-weighted corpus sampling: keep
+    a doc with probability equal to, e.g., its quality score, so high-quality
+    documents survive at a higher rate without a global sort or quantile pass.
+
+    The inclusion coin is `u(key) < weight` where u is the same uniform key
+    hash as `hash_sample` — membership is a pure function of (salt, key,
+    weight), so re-runs and repartitions keep the same rows, and a doc's fate
+    only changes if its WEIGHT changes (an incremental re-score re-decides
+    exactly the re-scored docs). Same scale shape: one codegen projection +
+    filter, no shuffle, no UDF; SQL-expressible for the oracle the same way
+    as hash_split_case_sql.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = _key_bucket(key_col, salt).cast("double") / F.lit(float(_BUCKETS))
+    return df.filter(u < F.least(F.greatest(w.cast("double"), F.lit(0.0)),
+                                 F.lit(1.0)))
+
+
 def mix_corpora(
     sources: dict[str, tuple[DataFrame, float]],
     key_col: str,

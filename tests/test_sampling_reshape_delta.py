@@ -274,3 +274,28 @@ def test_text_profile_matches_separate_ops(spark):
         merged = {**qual[i], **lang[i]}
         assert prof[i] == merged
     assert "Exchange" not in _plan(text_profile(docs))
+
+
+def test_weighted_hash_sample(spark):
+    from change_data_capturer_ms_spark.operators import weighted_hash_sample
+
+    df = spark.createDataFrame(
+        [(i, 1.0 if i < 100 else (0.0 if i < 200 else 0.3))
+         for i in range(2200)],
+        "doc_id long, w double",
+    )
+    kept = weighted_hash_sample(df, "doc_id", "w").collect()
+    ids = {r["doc_id"] for r in kept}
+    assert all(i in ids for i in range(100))        # p=1 always kept
+    assert all(i not in ids for i in range(100, 200))  # p=0 never kept
+    frac = sum(1 for i in ids if i >= 200) / 2000
+    assert 0.2 <= frac <= 0.4                        # p=0.3 in expectation
+    # determinism: membership survives repartitioning
+    again = {r["doc_id"]
+             for r in weighted_hash_sample(df.repartition(13), "doc_id", "w")
+             .collect()}
+    assert again == ids
+    # out-of-range weights clamp instead of misbehaving
+    oob = spark.createDataFrame([(1, 7.5), (2, -3.0)], "doc_id long, w double")
+    got = {r["doc_id"] for r in weighted_hash_sample(oob, "doc_id", "w").collect()}
+    assert got == {1}
