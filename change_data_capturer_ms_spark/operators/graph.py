@@ -121,17 +121,24 @@ def component_stats(labels: DataFrame) -> DataFrame:
 def dedup_keep_canonical(
     docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     src: str = "id_a", dst: str = "id_b",
+    broadcast_losers: bool = True,
 ) -> DataFrame:
     """The end-to-end corpus dedup: drop every doc in a duplicate component
     except its min-id root; docs in no pair (singletons) pass through.
 
-    Scale shape: the loser list is one row per NON-canonical duplicate —
-    tiny next to the corpus even at 30% dup rates after pair mining already
-    thresholded — so Spark broadcasts the anti-join side and the corpus
-    never shuffles.
+    Scale shape: the anti-join side is one row per NON-canonical duplicate.
+    `broadcast_losers=True` (default) pins the broadcast so the corpus never
+    shuffles — right whenever the loser list fits an executor (typical: pair
+    mining already thresholded). At EXTREME dup rates (loser list beyond the
+    broadcast limit — e.g. a raw crawl that is half mirror copies) pass
+    False: the join falls back to shuffle, and AQE still converts it back to
+    broadcast at runtime if the measured size allows. A forced broadcast of
+    an unbounded side is the failure mode to avoid, not the shuffle.
     """
     cc = connected_components(pairs, src=src, dst=dst)
     losers = cc.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )
-    return docs.join(F.broadcast(losers), id_col, "left_anti")
+    if broadcast_losers:
+        losers = F.broadcast(losers)
+    return docs.join(losers, id_col, "left_anti")
