@@ -394,6 +394,47 @@ def _fold_apply_history(apply_stats: dict, n_events: int, cores: int) -> dict:
     return apply_stats
 
 
+def _input_linearity_section(base_events: int) -> str:
+    """Input-scaling evidence from the probe history: best local[32] wall per
+    input size at the SCALING shape (n_events >= 16M — the 2M headline probes
+    use a different log shape and are not comparable). Flat events/s as the
+    input grows 4x is the profile a 10^10-event ingest extrapolation needs."""
+    per: dict[int, float] = {}
+    counts: dict[int, int] = {}
+    try:
+        for line in open(PROBE_HISTORY):
+            try:
+                h = json.loads(line)
+            except ValueError:
+                continue
+            if int(h.get("cores", 0)) != 32 or h.get("n_events", 0) < 16_000_000:
+                continue
+            n = int(h["n_events"])
+            per[n] = min(per.get(n, float("inf")), *h["walls"])
+            counts[n] = counts.get(n, 0) + len(h["walls"])
+    except FileNotFoundError:
+        return ""
+    if len(per) < 2:
+        return ""
+    rows = "".join(
+        f"| {n:,} | {per[n]} | {n / per[n]:,.0f} | {counts[n]} |\n"
+        for n in sorted(per)
+    )
+    ns = sorted(per)
+    lo, hi = ns[0], ns[-1]
+    ratio = (hi / per[hi]) / (lo / per[lo])
+    return (
+        "\n**Input linearity (local[32], same scaling-shape job, growing "
+        "input)** — throughput must hold as the LOG grows, or no cluster "
+        "size rescues a 10^10-event ingest:\n\n"
+        "| events | best wall s | events/s (best) | samples |\n|---|---|---|---|\n"
+        + rows +
+        f"\nThroughput at {hi // 1_000_000}M events is **{ratio:.2f}x** the "
+        f"{lo // 1_000_000}M-event rate (1.0 = perfectly flat; >1 = fixed "
+        "per-run costs amortizing away, the expected direction).\n"
+    )
+
+
 def write_baseline_md(n_events: int, results: dict[int, dict], eff: float) -> None:
     os.makedirs("BENCH", exist_ok=True)
     rows = "".join(
@@ -452,7 +493,8 @@ def write_baseline_md(n_events: int, results: dict[int, dict], eff: float) -> No
             "pair collapses). The scaling ladder is coherent: near-linear "
             "through 8 threads, capacity ceiling beyond.\n\n"
             + headline32 +
-            "Determinism check: `final_rows` is identical at every parallelism "
+            _input_linearity_section(n_events) +
+            "\nDeterminism check: `final_rows` is identical at every parallelism "
             "level and every repeat (tombstone-correct LWW MERGE is "
             "batch-boundary- and partitioning-independent).\n\n"
             "Reference throughput: none published (see BASELINE.md); the reference "
