@@ -669,7 +669,11 @@ def q_dedup_pair_mining(spark, sf_dir):
         F.lit(None).cast("long").alias("shared"),
         F.col("est_jaccard").alias("sim"),
     )
-    pairs = jac.unionByName(mh)
+    # materialize the pair list ONCE: both the component iteration and the
+    # final union read it, and the iterative CC would otherwise re-derive the
+    # full mining lineage for its first checkpoint (standard practice before
+    # iterative graph rounds; bounded = thresholded near-dup pairs)
+    pairs = jac.unionByName(mh).localCheckpoint(eager=True)
     from change_data_capturer_ms_spark.operators import (
         component_stats, connected_components)
     cc = connected_components(pairs.select("id_a", "id_b"))
