@@ -1108,6 +1108,44 @@ class LakeTable:
             validate_source_unique=False,
         )
 
+    def update_where(
+        self,
+        set_exprs: dict,
+        filters: list[tuple] | None = None,
+        predicate=None,
+        batch_id: int | str = 0,
+        source_id: str = "update-where",
+    ) -> dict:
+        """Predicate update (`UPDATE t SET ... WHERE ...`): rewrite matching
+        LIVE rows through `merge_into`'s update clause — GDPR rectification
+        and column backfills, with the same CDC visibility (`_last_seq` above
+        the watermark, so incremental consumers see exactly the changed rows)
+        and exactly-once ledger as every other mutation.
+
+        `set_exprs` maps target column → expression; expressions may reference
+        current row values via the `t.` alias (e.g. `{"n": F.col("t.n") + 1}`).
+        `filters` (zone-map form) and/or `predicate` (arbitrary Column) select
+        the rows, composing with AND — same contract as `delete_where`.
+        """
+        if filters is None and predicate is None:
+            raise ValueError("update_where: need filters and/or predicate")
+        if not set_exprs:
+            raise ValueError("update_where: set_exprs must be non-empty")
+        matches = (self.read_where(filters) if filters is not None
+                   else self.read())
+        if predicate is not None:
+            matches = matches.filter(predicate)
+        keys = self.manifest().key_cols
+        return self.merge_into(
+            matches.select(*keys),
+            when_matched_update=dict(set_exprs),
+            when_matched_delete=None,
+            when_not_matched_insert=None,
+            batch_id=batch_id,
+            source_id=source_id,
+            validate_source_unique=False,
+        )
+
     def compact(self, target_file_bytes: int = 128 * 1024 * 1024,
                 min_files_per_bucket: int = 2,
                 sort_cols: list[str] | None = None,

@@ -71,3 +71,36 @@ def test_requires_a_condition(spark, tmpdir_path):
     t = _mk(spark, f"{tmpdir_path}/t")
     with pytest.raises(ValueError, match="filters and/or predicate"):
         t.delete_where()
+
+
+@pytest.mark.parametrize("write_mode", ["cow", "mor"])
+def test_update_where_rewrites_matches(spark, tmpdir_path, write_mode):
+    t = _mk(spark, f"{tmpdir_path}/t", write_mode)
+    v0 = t.manifest().version
+    res = t.update_where(
+        {"content": F.lit("redacted"), "n": F.col("t.n") + 100},
+        predicate=F.col("content") == "erase-me",
+        batch_id="fix-1",
+    )
+    assert res["metrics"]["updates"] == 2
+    got = {(r["repo"], r["path"]): (r["content"], r["n"])
+           for r in t.read().collect()}
+    assert got[("r1", "b")] == ("redacted", 102)
+    assert got[("r2", "a")] == ("redacted", 130)
+    assert got[("r1", "a")] == ("keep", 1)  # untouched
+    # CDC visibility: exactly the updated rows surface incrementally
+    inc = {(r["repo"], r["path"]) for r in
+           t.read_incremental(since_version=v0).collect()}
+    assert inc == {("r1", "b"), ("r2", "a")}
+    # exactly-once redelivery
+    assert t.update_where({"n": F.lit(0)},
+                          predicate=F.col("content") == "redacted",
+                          batch_id="fix-1")["skipped"] is True
+
+
+def test_update_where_validates_args(spark, tmpdir_path):
+    t = _mk(spark, f"{tmpdir_path}/t")
+    with pytest.raises(ValueError, match="filters and/or predicate"):
+        t.update_where({"n": F.lit(1)})
+    with pytest.raises(ValueError, match="non-empty"):
+        t.update_where({}, predicate=F.lit(True))
