@@ -409,6 +409,8 @@ def _input_linearity_section(base_events: int) -> str:
                 continue
             if int(h.get("cores", 0)) != 32 or h.get("n_events", 0) < 16_000_000:
                 continue
+            if not h.get("walls"):  # crashed probe record: min(<inf>) TypeError
+                continue
             n = int(h["n_events"])
             per[n] = min(per.get(n, float("inf")), *h["walls"])
             counts[n] = counts.get(n, 0) + len(h["walls"])

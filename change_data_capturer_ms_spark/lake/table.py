@@ -401,6 +401,15 @@ class LakeTable:
             )
         if head == cur:
             return {"skipped": True, "version": cur}
+        # same expected-parent protocol as ManifestStore.commit: a main commit
+        # landing between the ancestry check and the pointer swap would be
+        # silently dropped from main's history otherwise (lost update)
+        now = self.store.current_version()
+        if now != cur:
+            raise RuntimeError(
+                f"fast_forward: concurrent main commit (v{cur} -> v{now}) "
+                f"while publishing branch {name!r}; retry"
+            )
         self.store.set_current(head)
         return {"skipped": False, "version": head, "from": cur}
 
@@ -1064,11 +1073,31 @@ class LakeTable:
 
     # -- maintenance ----------------------------------------------------------
 
+    @staticmethod
+    def _mutation_batch_id(kind: str, filters, predicate, set_exprs=None) -> str:
+        """Deterministic default batch_id for predicate mutations.
+
+        delete_where/update_where used to default batch_id=0 with a fixed
+        source_id, so two DIFFERENT predicate mutations run with defaults
+        collided in the exactly-once ledger — the second silently no-opped
+        (a quiet failure for what the docstrings frame as GDPR erasure).
+        Deriving the default from the mutation spec keeps retries of the SAME
+        mutation idempotent while distinct mutations get distinct ledger keys.
+        Callers that intentionally re-run the same predicate (e.g. a nightly
+        retention sweep that must delete NEWLY matching rows) pass an explicit
+        batch_id per run."""
+        import hashlib
+
+        spec = [kind, repr(filters), str(predicate)]
+        if set_exprs is not None:
+            spec.append(repr(sorted((k, str(v)) for k, v in set_exprs.items())))
+        return "auto-" + hashlib.md5("|".join(spec).encode()).hexdigest()[:16]
+
     def delete_where(
         self,
         filters: list[tuple] | None = None,
         predicate=None,
-        batch_id: int | str = 0,
+        batch_id: int | str | None = None,
         source_id: str = "delete-where",
     ) -> dict:
         """Predicate delete (GDPR erasure / retention sweeps): tombstone every
@@ -1090,6 +1119,8 @@ class LakeTable:
         """
         if filters is None and predicate is None:
             raise ValueError("delete_where: need filters and/or predicate")
+        if batch_id is None:
+            batch_id = self._mutation_batch_id("delete", filters, predicate)
         matches = (self.read_where(filters) if filters is not None
                    else self.read())
         if predicate is not None:
@@ -1113,7 +1144,7 @@ class LakeTable:
         set_exprs: dict,
         filters: list[tuple] | None = None,
         predicate=None,
-        batch_id: int | str = 0,
+        batch_id: int | str | None = None,
         source_id: str = "update-where",
     ) -> dict:
         """Predicate update (`UPDATE t SET ... WHERE ...`): rewrite matching
@@ -1131,6 +1162,9 @@ class LakeTable:
             raise ValueError("update_where: need filters and/or predicate")
         if not set_exprs:
             raise ValueError("update_where: set_exprs must be non-empty")
+        if batch_id is None:
+            batch_id = self._mutation_batch_id(
+                "update", filters, predicate, set_exprs)
         matches = (self.read_where(filters) if filters is not None
                    else self.read())
         if predicate is not None:
@@ -1576,15 +1610,26 @@ class LakeTable:
                 v = self.store.load(v).parent
             except FileNotFoundError:
                 break
-        # tagged versions AND branch heads are pinned (Iceberg ref retention);
-        # a branch's intermediate ancestry is not — fast_forward/publish
-        # before expiring, or keep_last covers it on a linear history
-        keep_versions = sorted(set(keep_versions)
-                               | set(self.store.tags().values())
-                               | set(self.store.branches().values())
-                               # a branch-bound handle computes keep_last
-                               # around ITS head — main must survive anyway
-                               | {self.store.current_version()})
+        # tagged versions AND branch heads are pinned (Iceberg ref retention).
+        # A branch's UNPUBLISHED intermediate ancestry is pinned too: with 2+
+        # unpublished commits on a branch, expiring the intermediate manifest
+        # would break fast_forward's parent walk ("not an ancestor") and make
+        # a genuinely-publishable branch permanently unpublishable. Walk each
+        # head down to retained MAIN ancestry (not just any pinned version —
+        # stopping at a tag could still leave a gap below it).
+        main_keep = set(keep_versions) | {self.store.current_version()}
+        pinned = (main_keep
+                  | set(self.store.tags().values())
+                  | set(self.store.branches().values()))
+        for head in self.store.branches().values():
+            bv: int | None = head
+            while bv is not None and bv not in main_keep:
+                pinned.add(bv)
+                try:
+                    bv = self.store.load(bv).parent
+                except FileNotFoundError:
+                    break
+        keep_versions = sorted(pinned)
         live: set[str] = set()
         referenced: set[str] = set()  # referenced by ANY manifest, retained or not
         for mpath in glob.glob(os.path.join(self.path, "_meta", "v*.json")):

@@ -104,6 +104,41 @@ def test_branch_heads_survive_expire_snapshots(table, spark):
     assert table.branches()["keepme"] == head
 
 
+def test_unpublished_branch_ancestry_survives_expiry(table, spark):
+    """A branch carrying 2+ unpublished commits keeps its INTERMEDIATE
+    manifests through expire_snapshots — otherwise fast_forward's parent
+    walk hits the expired gap and a genuinely publishable branch becomes
+    permanently unpublishable."""
+    table.create_branch("wip")
+    tb = table.branch("wip")
+    tb.merge(_batch(spark, [("r5", "x", "mid")], seq0=50), batch_id=21)
+    tb.merge(_batch(spark, [("r6", "y", "tip")], seq0=60), batch_id=22)
+    table.expire_snapshots(keep_last=1, orphan_grace_sec=0.0)
+    res = table.fast_forward("wip")
+    assert res["skipped"] is False
+    got = _state(table)
+    assert got[("r5", "x")] == "mid" and got[("r6", "y")] == "tip"
+
+
+def test_fast_forward_detects_concurrent_main_commit(table, spark, monkeypatch):
+    """Publish uses the expected-parent protocol: a main commit landing
+    between the ancestry check and the pointer swap must abort the publish,
+    not silently drop that commit from main's history."""
+    table.create_branch("audit")
+    tb = table.branch("audit")
+    tb.merge(_batch(spark, [("r1", "a", "v1")], seq0=10), batch_id=1)
+    real = table.store.current_version
+    calls = {"n": 0}
+
+    def racy():
+        calls["n"] += 1
+        return real() if calls["n"] == 1 else real() + 999
+
+    monkeypatch.setattr(table.store, "current_version", racy)
+    with pytest.raises(RuntimeError, match="concurrent main commit"):
+        table.fast_forward("audit")
+
+
 def test_unknown_branch_raises(table):
     with pytest.raises(KeyError):
         table.branch("nope")

@@ -104,3 +104,25 @@ def test_update_where_validates_args(spark, tmpdir_path):
         t.update_where({"n": F.lit(1)})
     with pytest.raises(ValueError, match="non-empty"):
         t.update_where({}, predicate=F.lit(True))
+
+
+def test_distinct_default_mutations_do_not_collide(spark, tmpdir_path):
+    """Default batch_id derives from the mutation spec: two DIFFERENT
+    predicate mutations run with defaults must both apply (the old fixed
+    batch_id=0 made the second a silent ledger no-op), while retrying the
+    SAME mutation stays exactly-once."""
+    t = _mk(spark, f"{tmpdir_path}/t")
+    r1 = t.delete_where(predicate=F.col("content") == "erase-me")
+    assert r1["skipped"] is False and r1["metrics"]["deletes"] == 2
+    # a different predicate delete with defaults is NOT ledger-skipped
+    r2 = t.delete_where(filters=[("n", ">=", 40)])
+    assert r2["skipped"] is False and r2["metrics"]["deletes"] == 1
+    # retrying the same default mutation is still a no-op
+    assert t.delete_where(filters=[("n", ">=", 40)])["skipped"] is True
+    # update_where defaults don't collide with the deletes...
+    r3 = t.update_where({"n": F.lit(7)}, predicate=F.col("content") == "keep")
+    assert r3["skipped"] is False and r3["metrics"]["updates"] == 1
+    # ...and a different set_exprs on the SAME predicate is a new mutation
+    r4 = t.update_where({"n": F.lit(8)}, predicate=F.col("content") == "keep")
+    assert r4["skipped"] is False
+    assert {r["n"] for r in t.read().collect()} == {8}
