@@ -43,6 +43,7 @@ from change_data_capturer_ms_spark.operators import (
     lww_dedupe,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    pq_topk,
     psi_terms,
     synth_media,
 )
@@ -763,8 +764,10 @@ def q_pivot_unpivot(spark, sf_dir):
 def q_embed_knn_methods(spark, sf_dir):
     """Exact brute-force kNN (broadcast-NLJ baseline) UNION multi-probe
     sign-bit LSH ANN (the query's bucket plus hamming-1 neighbors — the
-    sublinear scale path), tagged by method. r2 fold of embed_knn_brute +
-    embed_lsh_ann (50-row driver budget)."""
+    sublinear scale path) UNION product-quantization ANN (hash-seeded
+    codebooks, ADC lookup-table scoring, exact re-rank — the billion-vector
+    compression path), tagged by method. r2 fold of embed_knn_brute +
+    embed_lsh_ann; r3 folds pq_topk into the same grain (50-row budget)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)
     common = ["query_id", "neighbor_id", "cosine", "rank"]
@@ -772,7 +775,9 @@ def q_embed_knn_methods(spark, sf_dir):
         F.lit("brute").alias("method"), *common)
     lsh = lsh_topk(emb, queries, k=5, bits=4, multiprobe=True).select(
         F.lit("lsh").alias("method"), *common)
-    return brute.unionByName(lsh)
+    pq = pq_topk(emb, queries, k=5, m=4, n_codes=16, rerank=20).select(
+        F.lit("pq").alias("method"), *common)
+    return brute.unionByName(lsh).unionByName(pq)
 
 
 def q_embed_ivf_ann(spark, sf_dir):
@@ -1020,6 +1025,70 @@ def _minhash_sig_sql() -> str:
     )
 
 
+def _pq_knn_sql(m: int = 4, dim: int = 64, n_codes: int = 16,
+                rerank: int = 20, k: int = 5) -> tuple[str, str]:
+    """DuckDB twin of operators/similarity.pq_topk (hash-seeded codebooks,
+    ADC lookup-sum, exact cosine re-rank). Returns (cte_chunk, final_select)
+    to be spliced into the embed_knn_methods WITH/UNION. dim is fixed by the
+    testdata embeddings (64); sub-vector slices are emitted as literal bounds
+    exactly like the Spark side's literal struct explode."""
+    w = dim // m
+
+    def sqd(a: str, b: str) -> str:
+        return (f"list_sum(list_transform(list_zip({a}, {b}), "
+                "s -> (s[1]-s[2])*(s[1]-s[2])))")
+
+    corpus_subs = " UNION ALL ".join(
+        f"SELECT vec_id AS vec, {s} AS sub, v[{s*w+1}:{(s+1)*w}] AS sv FROM pqn"
+        for s in range(m))
+    cb_subs = " UNION ALL ".join(
+        f"SELECT {s} AS sub, code, v[{s*w+1}:{(s+1)*w}] AS centroid FROM pqseed"
+        for s in range(m))
+    q_subs = " UNION ALL ".join(
+        f"SELECT query_id, {s} AS sub, qv[{s*w+1}:{(s+1)*w}] AS qsv FROM pqq"
+        for s in range(m))
+    return (
+        # normalize (ADC ranks by L2, monotone in cosine only on unit vectors)
+        "pqb AS (SELECT vec_id, embedding::DOUBLE[] AS v0, "
+        "  sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nrm "
+        "  FROM embeddings), "
+        "pqn AS (SELECT vec_id, CASE WHEN nrm = 0 THEN v0 "
+        "  ELSE list_transform(v0, x -> x / nrm) END AS v FROM pqb), "
+        # deterministic codebook seeds: n_codes smallest md5-id-hash rows
+        f"pqh AS (SELECT vec_id, v, {_H('vec_id::VARCHAR')} AS h FROM pqn), "
+        "pqseed AS (SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 "
+        f"  AS code FROM pqh ORDER BY h, vec_id LIMIT {n_codes}), "
+        f"pqcb AS ({cb_subs}), "
+        f"pqsubs AS ({corpus_subs}), "
+        # encode: argmin centroid per (vec, sub), tie on code
+        "pqcodes AS (SELECT vec, sub, code FROM ("
+        "  SELECT vec, sub, code, ROW_NUMBER() OVER (PARTITION BY vec, sub "
+        f"    ORDER BY {sqd('sv', 'centroid')}, code) AS rn "
+        "  FROM pqsubs JOIN pqcb USING (sub)) WHERE rn = 1), "
+        "pqq AS (SELECT vec_id AS query_id, v AS qv FROM pqn WHERE vec_id < 3), "
+        f"pqqsubs AS ({q_subs}), "
+        # per-query lookup table: partial sq-distance to every (sub, code)
+        "pqlut AS (SELECT query_id, sub, code, "
+        f"  {sqd('qsv', 'centroid')} AS pd FROM pqqsubs JOIN pqcb USING (sub)), "
+        # ADC: approx dist = sum of m lookups
+        "pqapprox AS (SELECT query_id, vec, SUM(pd) AS adist "
+        "  FROM pqcodes JOIN pqlut USING (sub, code) "
+        "  WHERE query_id <> vec GROUP BY query_id, vec), "
+        f"pqcand AS (SELECT query_id, vec AS neighbor_id FROM ("
+        "  SELECT query_id, vec, ROW_NUMBER() OVER (PARTITION BY query_id "
+        f"    ORDER BY adist, vec) AS rn FROM pqapprox) WHERE rn <= {rerank}), "
+        "pqscored AS (SELECT query_id, neighbor_id, "
+        "  list_cosine_similarity(qv, n.v) AS cos_raw FROM pqcand "
+        "  JOIN pqn n ON n.vec_id = neighbor_id JOIN pqq USING (query_id))"
+    ), (
+        "SELECT 'pq' AS method, query_id, neighbor_id, "
+        "ROUND(cos_raw, 6) AS cosine, rank "
+        "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+        f"  ORDER BY cos_raw DESC, neighbor_id) AS rank FROM pqscored) "
+        f"WHERE rank <= {k}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     pack_h = _H("'pack:' || CAST(doc_id AS VARCHAR)")
     k = len(MINHASH_PERMS)
@@ -1069,6 +1138,8 @@ def oracle_sql() -> dict[str, str]:
     )
 
     en = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+
+    pq_ctes, pq_select = _pq_knn_sql(m=4, dim=64, n_codes=16, rerank=20, k=5)
 
     return {
         "scan_projection": "SELECT event_id, user_id, event_type FROM events",
@@ -1423,14 +1494,17 @@ def oracle_sql() -> dict[str, str]:
             "  FROM q), "
             "lscored AS (SELECT query_id, b.vec_id AS neighbor_id, "
             "  list_cosine_similarity(qv, b.v) AS cos_raw "
-            "  FROM b JOIN probes USING (bucket) WHERE b.vec_id <> query_id) "
+            "  FROM b JOIN probes USING (bucket) WHERE b.vec_id <> query_id), "
+            f"{pq_ctes} "
             "SELECT 'brute' AS method, query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine, rank "
             "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
             "  ORDER BY cos_raw DESC, neighbor_id) AS rank FROM bscored) WHERE rank <= 5 "
             "UNION ALL "
             "SELECT 'lsh' AS method, query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine, rank "
             "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
-            "  ORDER BY cos_raw DESC, neighbor_id) AS rank FROM lscored) WHERE rank <= 5"
+            "  ORDER BY cos_raw DESC, neighbor_id) AS rank FROM lscored) WHERE rank <= 5 "
+            "UNION ALL "
+            f"{pq_select}"
         ),
         "embed_ivf_ann": (
             # deterministic IVF: centroids = the 8 corpus vectors with smallest

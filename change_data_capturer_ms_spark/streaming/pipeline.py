@@ -337,22 +337,7 @@ class CDCPipeline:
             lease = self.table.lease()
             if self.monitor_cols:
                 captured = batch_df.filter(F.col("op").isin(*self.cfg.captured_ops))
-                monitor = {}
-                for c in self.monitor_cols:
-                    # bounded: top-K by count, deterministic tiebreak on value;
-                    # the scan prunes to the single monitored column
-                    rows = (
-                        captured.groupBy(c)
-                        .agg(F.count(F.lit(1)).alias("n"))
-                        .orderBy(F.desc("n"), F.col(c))
-                        .limit(self.monitor_top_k)
-                        .collect()
-                    )
-                    monitor[c] = {
-                        ("<null>" if r[c] is None else str(r[c])): int(r["n"])
-                        for r in rows
-                    }
-                lease["monitor"] = monitor
+                lease["monitor"] = self._monitor_summary(captured)
             self._write_lease(lease)
         if self.queue_sink is not None:
             # produce the RAW captured rows (the reference queues the change
@@ -363,6 +348,42 @@ class CDCPipeline:
                 captured, batch_id=batch_id, source_id=self.source_id
             )
         return result
+
+    def _monitor_summary(self, captured: DataFrame) -> dict:
+        """Per-batch top-K value counts for every monitored column in ONE
+        Spark job — GROUPING SETS ((c1), (c2), ...) over the pruned monitored
+        columns, mirroring the planning agg above. The old shape ran one
+        groupBy job PER column, i.e. N scans of the batch per micro-batch.
+
+        Within a grouping set only that set's column varies (the others are
+        null constants), so a single window ordered by (count desc, c1, ...,
+        cN) reproduces each column's native-type deterministic tiebreak
+        exactly. Collect is bounded by N * top_k rows."""
+        from pyspark.sql.window import Window
+
+        cols = list(self.monitor_cols)
+        w = Window.partitionBy("gid").orderBy(
+            F.desc("n"), *[F.col(c) for c in cols])
+        top = (
+            captured.select(*cols)
+            .groupingSets([[c] for c in cols], *cols)
+            .agg(F.count(F.lit(1)).alias("n"), F.grouping_id().alias("gid"))
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= self.monitor_top_k)
+            .collect()
+        )
+        # grouping_id bit i (MSB-first in declared column order) set ⇔ column
+        # ABSENT from the set, so column i's rows carry gid = full ^ its bit
+        full = (1 << len(cols)) - 1
+        monitor = {}
+        for i, c in enumerate(cols):
+            gid = full ^ (1 << (len(cols) - 1 - i))
+            monitor[c] = {
+                ("<null>" if r[c] is None else str(r[c])): int(r["n"])
+                for r in sorted((r for r in top if int(r["gid"]) == gid),
+                                key=lambda r: int(r["_rk"]))
+            }
+        return monitor
 
     # -- DLQ replay ------------------------------------------------------------
 

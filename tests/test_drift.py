@@ -152,3 +152,47 @@ class TestMonitor:
 
         scores = pipe.monitor_drift("lang")
         assert len(scores) == 1 and scores[0]["psi"] > 0.2
+
+    def test_monitor_summary_is_one_job_for_many_columns(
+            self, spark, tmpdir_path):
+        """N monitored columns must NOT mean N scans of the batch: the
+        GROUPING SETS summary launches the same number of Spark jobs for 3
+        columns as for 1, and matches the per-column groupBy/top-K result
+        (including the native-type count tiebreak) exactly."""
+        from change_data_capturer_ms_spark.config import EngineConfig
+        from change_data_capturer_ms_spark.lake.table import LakeTable
+        from change_data_capturer_ms_spark.sources import gen_changelog
+        from change_data_capturer_ms_spark.streaming import CDCPipeline
+
+        table = LakeTable(spark, f"{tmpdir_path}/t", key_cols=["repo", "path"],
+                          n_buckets=4)
+
+        def mk(cols):
+            return CDCPipeline(spark, f"{tmpdir_path}/l", table,
+                               f"{tmpdir_path}/c", cfg=EngineConfig(n_buckets=4),
+                               use_pandas_udfs=False, monitor_cols=cols,
+                               monitor_top_k=5)
+
+        df = gen_changelog(spark, 800, seed=32, n_repos=6, paths_per_repo=4)
+        df = df.filter(F.col("op").isin("insert", "update", "delete")).cache()
+        df.count()
+
+        def jobs_for(pipe, group):
+            sc = spark.sparkContext
+            sc.setJobGroup(group, group)
+            out = pipe._monitor_summary(df)
+            sc.setJobGroup("", "")
+            return out, len(sc.statusTracker().getJobIdsForGroup(group))
+
+        got3, n3 = jobs_for(mk(["lang", "repo", "op"]), "mon3")
+        _, n1 = jobs_for(mk(["lang"]), "mon1")
+        assert n3 == n1  # job count independent of monitored-column count
+
+        # value parity with the old one-job-per-column shape
+        for c in ("lang", "repo", "op"):
+            rows = (df.groupBy(c).agg(F.count(F.lit(1)).alias("n"))
+                    .orderBy(F.desc("n"), F.col(c)).limit(5).collect())
+            want = {("<null>" if r[c] is None else str(r[c])): int(r["n"])
+                    for r in rows}
+            assert got3[c] == want, c
+        df.unpersist()
