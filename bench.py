@@ -78,29 +78,43 @@ def _session(cores: int, app: str):
 
 
 def gen_log(spark, n_events: int, log_dir: str, body_repeat: int = 1,
-            n_files: int = 16) -> int:
-    """Write the deterministic bench log once; returns actual file count."""
+            n_files: int = 16, hot_repo_fraction: float = 0.2,
+            reuse: bool = False) -> int:
+    """Write the deterministic bench log once; returns actual file count.
+
+    reuse=True keeps an existing log (same seed => byte-identical content),
+    so interleaved probe subprocesses sharing a log dir skip regeneration."""
     from change_data_capturer_ms_spark.sources import gen_changelog
 
+    if reuse:
+        existing = glob.glob(f"{log_dir}/seq_bucket=*/*.parquet")
+        if existing:
+            return len(existing)
     shutil.rmtree(log_dir, ignore_errors=True)
     n_repos = max(200, n_events // 1000)
     log = gen_changelog(spark, n_events, seed=42, n_repos=n_repos, paths_per_repo=50,
-                        hot_repo_fraction=0.2, body_repeat=body_repeat)
+                        hot_repo_fraction=hot_repo_fraction, body_repeat=body_repeat)
     (log.repartition(n_files)
         .write.mode("overwrite").partitionBy("seq_bucket").parquet(log_dir))
     return len(glob.glob(f"{log_dir}/seq_bucket=*/*.parquet"))
 
 
 def apply_once(spark, n_events: int, log_dir: str, n_files: int, workdir: str,
-               n_batches: int = 2) -> dict:
-    """One timed apply of the full pipeline over an existing log."""
+               n_batches: int = 2, salt_buckets: int = 16) -> dict:
+    """One timed apply of the full pipeline over an existing log.
+
+    salt_buckets=1 disables skew salting (the salt column is constantly 0, so
+    the pre-UDF repartition degenerates to repartition-by-repo — every hot-repo
+    row lands in ONE partition). Used by the skew benchmark as the unsalted
+    control; semantics are unchanged either way (salt is a pure function of
+    the key, E17)."""
     from change_data_capturer_ms_spark.config import EngineConfig
     from change_data_capturer_ms_spark.lake.table import LakeTable
     from change_data_capturer_ms_spark.streaming import CDCPipeline
 
     shutil.rmtree(workdir, ignore_errors=True)
     mft = max(1, math.ceil(n_files / n_batches))
-    cfg = EngineConfig(n_buckets=32, salt_buckets=16)
+    cfg = EngineConfig(n_buckets=32, salt_buckets=salt_buckets)
     table = LakeTable(spark, f"{workdir}/table", key_cols=["repo", "path"], n_buckets=32)
     pipe = CDCPipeline(spark, log_dir, table, f"{workdir}/ckpt", cfg=cfg,
                        use_pandas_udfs=True, collect_lineage=True, flatten_props=True)
@@ -196,6 +210,114 @@ def _interleaved_probes(configs: tuple[int, ...], n_events: int,
                 results[c] = r
             results[c]["all_wall_sec"] = walls
     return results
+
+
+def skew_probe(cores: int, n_events: int, salt_buckets: int,
+               log_dir: str, workdir: str) -> dict:
+    """One timed apply over a HOT-SKEWED log (one repo = 50% of all events)
+    at the given salt_buckets; fresh process per probe, warm-up first.
+
+    The E17 invariant (salted == unsalted result) is unit-tested; this probe
+    produces the SCALE evidence the north rule names: with 8M of 16M events on
+    a single repo key, the unsalted control (salt_buckets=1) funnels the whole
+    hot repo through one partition in the pre-UDF repartition, while the
+    salted run spreads it over 16. Identical final_rows, different wall.
+    The log is generated once and shared across probes (deterministic seed)."""
+    spark = _session(cores, f"cdc-skew-{salt_buckets}")
+    spark.sparkContext.setLogLevel("ERROR")
+    bench_apply(spark, max(200_000, n_events // 16), f"{workdir}/warm",
+                n_batches=2, n_files=8)
+    n_files = gen_log(spark, n_events, log_dir, body_repeat=1,
+                      n_files=SCALING_FILES, hot_repo_fraction=0.5, reuse=True)
+    stats = apply_once(spark, n_events, log_dir, n_files, f"{workdir}/run",
+                       n_batches=2, salt_buckets=salt_buckets)
+    spark.stop()
+    stats["cores"] = cores
+    stats["salt_buckets"] = salt_buckets
+    return stats
+
+
+def _skew_subprocess(cores: int, n_events: int, salt_buckets: int,
+                     log_dir: str, workdir: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--skew-probe",
+         str(cores), str(n_events), str(salt_buckets), log_dir, workdir],
+        capture_output=True, text=True, timeout=3600,
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"skew probe failed (salt={salt_buckets}):\n"
+                       f"{out.stderr[-2000:]}")
+
+
+SKEW_HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH", "skew_probes.jsonl")
+
+
+def run_skew_bench(n_events: int = 16_000_000, rounds: int = 2) -> dict:
+    """Interleaved salted(16)/unsalted(1) hot-skew probes; records history and
+    rebuilds BENCH/BASELINE.md with the skew section."""
+    log_dir = f"/tmp/cdc_skew_log_{n_events}"
+    results: dict[int, dict] = {}
+    os.makedirs(os.path.dirname(SKEW_HISTORY), exist_ok=True)
+    for i in range(rounds):
+        for salt in (16, 1):
+            r = _skew_subprocess(CPUS, n_events, salt, log_dir,
+                                 f"/tmp/cdc_skew_{salt}_{i}")
+            with open(SKEW_HISTORY, "a") as f:
+                f.write(json.dumps({**r, "n_events": n_events,
+                                    "ts": time.time()}) + "\n")
+            prev = results.get(salt)
+            if prev is None or r["wall_sec"] < prev["wall_sec"]:
+                results[salt] = r
+    rows = {s: r["final_rows"] for s, r in results.items()}
+    assert len(set(rows.values())) == 1, f"salted != unsalted rows: {rows}"
+    return results
+
+
+def _skew_section() -> str:
+    """Hot-key skew evidence folded from BENCH/skew_probes.jsonl."""
+    per: dict[int, dict] = {}
+    try:
+        for line in open(SKEW_HISTORY):
+            try:
+                h = json.loads(line)
+            except ValueError:
+                continue
+            s = int(h["salt_buckets"])
+            r = per.setdefault(s, {"walls": [], "final_rows": h["final_rows"],
+                                   "n_events": h["n_events"]})
+            r["walls"].append(h["wall_sec"])
+    except FileNotFoundError:
+        return ""
+    if len(per) < 2:
+        return ""
+    n = per[16]["n_events"]
+    b16, b1 = min(per[16]["walls"]), min(per[1]["walls"])
+    same = per[16]["final_rows"] == per[1]["final_rows"]
+    rows = "".join(
+        f"| salt_buckets={s} ({'salted' if s > 1 else 'unsalted control'}) "
+        f"| {min(r['walls'])} — all: {sorted(r['walls'])} "
+        f"| {n / min(r['walls']):,.0f} | {r['final_rows']:,} |\n"
+        for s, r in sorted(per.items(), reverse=True)
+    )
+    return (
+        f"\n**Hot-key skew (E17 at bench scale)** — {n:,} events with ONE repo "
+        "carrying 50% of all events (north-rule hot-repo scenario), full "
+        "pipeline, local[32], fresh process per probe, interleaved "
+        "salted/unsalted:\n\n"
+        "| config | wall s (best — all) | events/s (best) | final rows |\n"
+        "|---|---|---|---|\n" + rows +
+        f"\nSalting the pre-UDF repartition is **{b1 / b16:.2f}x** faster under "
+        "50% hot-key skew; `final_rows` is " +
+        ("**identical**" if same else "**DIFFERENT (BUG)**") +
+        " in both configs (the salt is a pure function of the key, so "
+        "semantics cannot change — operators/dedupe.py salted_repartition). "
+        "At 10^10 events the unsalted shape is not merely slow: one partition "
+        "holds the hot repo's entire history, which no executor can hold.\n"
+    )
 
 
 PROBE_HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -297,6 +419,50 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
                 and isinstance(h.get("best"), (int, float))):
             times[name] = min(times[name], round(float(h["best"]), 3))
     return times, this_run
+
+
+def bench_merge_cold(spark, sf_dir: str) -> dict:
+    """Cold-build MERGE timing — the honest counterpart to the HEADLINE
+    `merge_upsert` number.
+
+    `q_merge_upsert` caches its two-batch lake under /tmp keyed by _VER, so
+    the HEADLINE sample measures warm READ-BACK once the lake exists (r2's
+    0.196 s was that artifact, not a merge speedup). This benchmark tears the
+    lake down and times create + two MERGE batches + final read, best-of-2
+    with teardown between samples, folded against history like every other
+    query. Both numbers are reported, labeled, so round-over-round totals
+    compare like-for-like."""
+    import __spark_entry__ as entrymod
+
+    sf = _sf_tag(sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/cdc_q_merge_{entrymod._VER}_{tag}"
+    fn = entrymod.queries()["merge_upsert"]
+    samples, rows = [], 0
+    for _ in range(2):
+        shutil.rmtree(path, ignore_errors=True)
+        t0 = time.time()
+        rows = fn(spark, sf_dir).count()
+        samples.append(round(time.time() - t0, 3))
+    best = min(samples)
+    os.makedirs(os.path.dirname(QUERY_HISTORY), exist_ok=True)
+    with open(QUERY_HISTORY, "a") as f:
+        f.write(json.dumps({"name": "merge_upsert_cold", "sf": sf,
+                            "rows": rows, "best": best,
+                            "ts": time.time()}) + "\n")
+    folded = best
+    for line in open(QUERY_HISTORY):
+        try:
+            h = json.loads(line)
+        except ValueError:
+            continue
+        if (h.get("name") == "merge_upsert_cold" and h.get("sf") == sf
+                and h.get("rows") == rows
+                and isinstance(h.get("best"), (int, float))):
+            folded = min(folded, round(float(h["best"]), 3))
+    return {"cold_build_sec": folded, "this_run": samples, "rows": rows,
+            "note": "teardown + create + 2 MERGE batches + read; the "
+                    "HEADLINE merge_upsert is the warm read-back"}
 
 
 def bench_indexes(spark, sf_dir: str) -> dict:
@@ -496,6 +662,7 @@ def write_baseline_md(n_events: int, results: dict[int, dict], eff: float) -> No
             "through 8 threads, capacity ceiling beyond.\n\n"
             + headline32 +
             _input_linearity_section(n_events) +
+            _skew_section() +
             "\nDeterminism check: `final_rows` is identical at every parallelism "
             "level and every repeat (tombstone-correct LWW MERGE is "
             "batch-boundary- and partitioning-independent).\n\n"
@@ -566,6 +733,19 @@ def main() -> None:
         cores, n_events, workdir = int(sys.argv[i + 1]), int(sys.argv[i + 2]), sys.argv[i + 3]
         print(json.dumps(apply_probe(cores, n_events, workdir)))
         return
+    if "--skew-probe" in sys.argv:
+        i = sys.argv.index("--skew-probe")
+        print(json.dumps(skew_probe(int(sys.argv[i + 1]), int(sys.argv[i + 2]),
+                                    int(sys.argv[i + 3]), sys.argv[i + 4],
+                                    sys.argv[i + 5])))
+        return
+    if "--skew" in sys.argv:
+        res = run_skew_bench(rounds=int(os.environ.get("SPARK_GRAFT_SKEW_ROUNDS", "2")))
+        consolidate()
+        print(json.dumps({s: {"wall_sec": r["wall_sec"],
+                              "final_rows": r["final_rows"]}
+                          for s, r in res.items()}))
+        return
 
     scaling_mode = "--scaling" in sys.argv
     sf = _sf_tag(SF_DIR)
@@ -574,6 +754,7 @@ def main() -> None:
     spark = _session(CPUS, "cdc-bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries, queries_this_run = bench_queries(spark, SF_DIR)
+    merge_cold = bench_merge_cold(spark, SF_DIR)
     index_stats = bench_indexes(spark, SF_DIR)
     # warm-up then best-of-2 timed apply (steady-state; shared-host noise, see
     # apply_probe docstring)
@@ -590,6 +771,7 @@ def main() -> None:
 
     extra = {"apply": apply_stats, "apply_events_per_sec": apply_stats["events_per_sec"],
              "cpus": CPUS, "queries_this_run": queries_this_run,
+             "merge_upsert_cold": merge_cold,
              "incremental_index": index_stats}
 
     if scaling_mode:
