@@ -187,6 +187,7 @@ def duplicate_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 15,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: (id, cluster_id) where
     cluster_id = the smallest doc id in the component (the canonical survivor
@@ -205,27 +206,29 @@ def duplicate_clusters(
     bound or pre-bucket). Iterative ⇒ not oracle-SQL-expressible; verified
     against a union-find reference in tests.
     """
+    from change_data_capturer_ms_spark.operators.graph import _ckpt
+
     edges = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     edges = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct()
-    labels = (
+    labels = _ckpt(
         edges.select(F.col("u").alias("id")).distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
+        .withColumn("label", F.col("id")),
+        checkpoint_dir,
     )
     for _ in range(max_iter):
         neigh_min = (
             edges.join(labels, edges.v == labels.id)
             .groupBy("u").agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        new_labels = _ckpt(
             labels.join(neigh_min, labels.id == neigh_min.u, "left")
             .select(
                 "id",
                 F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            checkpoint_dir,
         )
         changed = (
             new_labels.alias("n")

@@ -27,6 +27,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _ckpt(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """Materialize an iterative frame, truncating lineage.
+
+    checkpoint_dir=None (default) uses localCheckpoint — right for single-JVM
+    / local-mode runs, blocks live in executor storage. On a real cluster pass
+    a durable dir (HDFS/S3): blocks then survive executor loss mid-iteration,
+    which at 100 TB is not optional — losing one executor 20 rounds into CC
+    would otherwise recompute the whole chain. The dir is set once per
+    SparkContext (setCheckpointDir is idempotent for the same path)."""
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=True)
+    sc = df.sparkSession.sparkContext
+    # setCheckpointDir mints a fresh uuid subdir per call — set once per dir
+    if getattr(sc, "_cdc_checkpoint_dir", None) != checkpoint_dir:
+        sc.setCheckpointDir(checkpoint_dir)
+        sc._cdc_checkpoint_dir = checkpoint_dir
+    return df.checkpoint(eager=True)
+
+
 def _canon(edges: DataFrame) -> DataFrame:
     """Orient every edge (greater, smaller), drop self-loops, distinct."""
     u, v = F.col("u"), F.col("v")
@@ -74,6 +93,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 30,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Label every node that appears in `pairs` with its component id — the
     MINIMUM node id reachable from it (so labels are deterministic and the
@@ -86,11 +106,15 @@ def connected_components(
     `max_iter` is a safety bound: O(log² n) convergence means 30 rounds
     covers any graph this engine will ever see; non-convergence raises
     rather than returning a partial labeling.
+
+    `checkpoint_dir`: None = localCheckpoint (single-JVM); a durable path
+    (HDFS/S3 on a cluster) = fault-tolerant `checkpoint()` — identical labels
+    either way (tested), different failure semantics (see `_ckpt`).
     """
     e = _canon(pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")))
-    e = e.localCheckpoint(eager=True)
+    e = _ckpt(e, checkpoint_dir)
     for _ in range(max_iter):
-        nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        nxt = _ckpt(_small_star(_large_star(e)), checkpoint_dir)
         # fixpoint: both frames are materialized checkpoints, so the two
         # anti-joins below are cheap; count-equality alone is NOT sufficient
         # (a round can swap edges without changing the count)
@@ -122,6 +146,7 @@ def dedup_keep_canonical(
     docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     src: str = "id_a", dst: str = "id_b",
     broadcast_losers: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """The end-to-end corpus dedup: drop every doc in a duplicate component
     except its min-id root; docs in no pair (singletons) pass through.
@@ -135,7 +160,8 @@ def dedup_keep_canonical(
     broadcast at runtime if the measured size allows. A forced broadcast of
     an unbounded side is the failure mode to avoid, not the shuffle.
     """
-    cc = connected_components(pairs, src=src, dst=dst)
+    cc = connected_components(pairs, src=src, dst=dst,
+                              checkpoint_dir=checkpoint_dir)
     losers = cc.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )

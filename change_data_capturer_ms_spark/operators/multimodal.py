@@ -65,13 +65,40 @@ def _decode_fake(payload: bytes, kind: str) -> dict:
     }
 
 
-def extract_media_features(df: DataFrame, use_real_decode: bool = False) -> DataFrame:
+def suggest_arrow_batch_rows(avg_payload_bytes: int,
+                             target_batch_bytes: int = 64 << 20) -> int:
+    """Executor-memory-aware Arrow batch sizing for binary media columns.
+
+    An Arrow batch holds `maxRecordsPerBatch` full payloads in memory at once
+    on BOTH the JVM and Python sides of the mapInPandas boundary; Spark's
+    default (10,000 rows) assumes scalar columns and would put ~1 TB in one
+    batch for 100 MB videos. rows = clamp(target_bytes / avg_payload, 1, 10k).
+    Pick target_batch_bytes well under spark.executor.memory / cores (64 MB
+    default leaves headroom for the decoded representation, typically larger
+    than the encoded payload)."""
+    if avg_payload_bytes <= 0:
+        return 10_000
+    return max(1, min(10_000, target_batch_bytes // avg_payload_bytes))
+
+
+def extract_media_features(df: DataFrame, use_real_decode: bool = False,
+                           arrow_batch_rows: int | None = None) -> DataFrame:
     """mapInPandas decode/feature-extract over binary media rows.
 
     Iterator-of-batches form: each Arrow batch is decoded and yielded without
     materializing the whole partition (essential when payloads are MBs each).
+
+    arrow_batch_rows sets `spark.sql.execution.arrow.maxRecordsPerBatch` —
+    size it from payload sizes via `suggest_arrow_batch_rows` so one batch of
+    blobs fits worker memory. NOTE: this is a session-level conf (Spark has no
+    per-plan override); it applies to every Arrow exchange that executes while
+    set, so configure it once per media pipeline, not per query mid-flight.
     """
     decode = _decode_real if use_real_decode else _decode_fake
+    if arrow_batch_rows is not None:
+        df.sparkSession.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(int(arrow_batch_rows)))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -180,6 +180,114 @@ class JsonQueueSink:
         return self.spark.read.schema(ENVELOPE_SCHEMA).parquet(*dirs)
 
 
+class QueueConsumer:
+    """Resumable consumer over a `JsonQueueSink` — the missing half of the
+    reference's produce→consume loop: the producer side persists its resume
+    token in the pipeline lease; this persists the CONSUMER's own high
+    watermark in the same `{id, lease}` document shape
+    (/root/reference/src/capturer/cosmos/utils.ts lease item), so a killed
+    consumer resumes exactly after the last batch it COMMITTED.
+
+    Delivery contract is at-least-once with idempotent replay: `poll()`
+    returns committed batches strictly after the watermark; `commit()`
+    advances the watermark only after the caller has fully processed them. A
+    crash between poll and commit redelivers the same batches on restart —
+    the same posture as the producer's exactly-once ledger, but consumer-side
+    (downstream effects must be idempotent, e.g. a keyed MERGE).
+
+    The watermark is MONOTONE: commit() folds `max(numeric batch ids)` into
+    the running maximum and never regresses (mirrors lake/manifest.py's
+    max_seq rule). Non-numeric batch ids (DLQ replays tagged "replay-N") are
+    outside the numeric tail by design — consume them explicitly via
+    `sink.consume()` / source filters.
+    """
+
+    def __init__(self, sink: JsonQueueSink, consumer_id: str = "consumer",
+                 lease_dir: str | None = None, source_id: str | None = None):
+        self.sink = sink
+        self.consumer_id = consumer_id
+        self.source_id = source_id
+        self.lease_dir = lease_dir or os.path.join(sink.path, "_consumer_lease")
+
+    # -- lease ----------------------------------------------------------------
+
+    def _lease_path(self) -> str:
+        return os.path.join(self.lease_dir, f"{self.consumer_id}.json")
+
+    def current_lease(self) -> dict | None:
+        """Decode-or-None, exactly like the pipeline's current_lease: corrupt
+        or missing ⇒ None ⇒ the consumer starts from the beginning."""
+        p = self._lease_path()
+        if not os.path.exists(p):
+            return None
+        try:
+            with open(p) as f:
+                payload = json.load(f)
+        except (json.JSONDecodeError, OSError, UnicodeDecodeError):
+            return None
+        return payload if isinstance(payload, dict) else None
+
+    def _watermark(self) -> int | None:
+        lease = self.current_lease()
+        if lease is None:
+            return None
+        try:
+            return int(lease["lease"])
+        except (KeyError, TypeError, ValueError):
+            return None  # schema drift decodes as "no watermark"
+
+    # -- consume loop ----------------------------------------------------------
+
+    def poll(self) -> tuple[DataFrame, list[dict]]:
+        """(envelopes, markers) for committed numeric batches strictly after
+        the persisted watermark — O(new batches): the marker listing is the
+        index, per-batch dirs prune the scan."""
+        wm = self._watermark()
+        ms = self.sink.committed_batches()
+        if self.source_id is not None:
+            ms = [m for m in ms if m["source_id"] == self.source_id]
+        ms = [m for m in ms if str(m["batch_id"]).isdigit()
+              and (wm is None or int(m["batch_id"]) > wm)]
+        return self.sink._read_batches(ms), ms
+
+    def commit(self, markers: list[dict]) -> dict:
+        """Advance + persist the watermark AFTER the batches are processed.
+        Atomic (tmp + rename), monotone, with per-commit history for audit."""
+        if not markers:
+            return {"skipped": True, "lease": self._watermark()}
+        new_max = max(int(m["batch_id"]) for m in markers)
+        wm = self._watermark()
+        high = new_max if wm is None else max(wm, new_max)  # never regress
+        lease = {
+            "id": self.consumer_id,
+            "lease": str(high),
+            "batches": [str(m["batch_id"]) for m in markers],
+            "rows": sum(int(m.get("rows") or 0) for m in markers),
+        }
+        os.makedirs(self.lease_dir, exist_ok=True)
+        hist = os.path.join(self.lease_dir,
+                            f"{self.consumer_id}__{high}.json")
+        payload = json.dumps(lease, indent=1)
+        with open(hist, "w") as f:
+            f.write(payload)
+        tmp = self._lease_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(payload)
+        os.replace(tmp, self._lease_path())  # atomic LWW upsert on id
+        return {"skipped": False, "lease": str(high), "batches": len(markers)}
+
+    def process(self, fn) -> dict:
+        """One poll→process→commit turn: `fn(envelopes_df)` runs to completion
+        BEFORE the watermark advances (crash inside fn ⇒ redelivery)."""
+        df, markers = self.poll()
+        if not markers:
+            return {"skipped": True, "batches": 0}
+        fn(df)
+        out = self.commit(markers)
+        out["batches"] = len(markers)
+        return out
+
+
 def parse_envelopes(env: DataFrame, payload_schema: T.StructType
                     ) -> tuple[DataFrame, DataFrame]:
     """Decode envelope bodies back to typed rows: (ok, failed).

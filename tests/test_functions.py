@@ -220,3 +220,33 @@ def test_xxh64_driver_side_parity(spark):
         ]
     with pytest.raises(TypeError, match="unsupported"):
         xxhash64_cols([1.5], ["double"])
+
+
+def test_arrow_batch_sizing(spark):
+    """suggest_arrow_batch_rows math + the conf plumb-through on
+    extract_media_features; results must not depend on batch size."""
+    from change_data_capturer_ms_spark.operators.multimodal import (
+        suggest_arrow_batch_rows,
+        synth_media,
+    )
+
+    assert suggest_arrow_batch_rows(100 << 20) == 1          # 100 MB videos
+    assert suggest_arrow_batch_rows(1 << 20) == 64           # 1 MB images
+    assert suggest_arrow_batch_rows(64 << 10) == 1024        # 64 KB thumbs
+    assert suggest_arrow_batch_rows(10) == 10_000            # clamp at default
+    assert suggest_arrow_batch_rows(0) == 10_000
+
+    docs = spark.createDataFrame(
+        [(i, f"payload body {i} " * 5) for i in range(40)], "doc_id long, text string"
+    )
+    media = synth_media(docs)
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prior = spark.conf.get(key)
+    try:
+        base = sorted(map(tuple, extract_media_features(media).collect()))
+        tiny = sorted(map(tuple, extract_media_features(
+            media, arrow_batch_rows=3).collect()))
+        assert spark.conf.get(key) == "3"
+        assert tiny == base
+    finally:
+        spark.conf.set(key, prior)

@@ -100,3 +100,35 @@ def test_non_convergence_raises(spark):
     df = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="no fixpoint"):
         connected_components(df, max_iter=0)
+
+
+def test_durable_checkpoint_identical_labels(spark, tmp_path):
+    """checkpoint_dir (real-cluster fault-tolerant path) must produce the
+    exact same labeling as the default localCheckpoint path — the knob changes
+    failure semantics, never results."""
+    edges = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (2, 10), (20, 21),
+             *[(100 + i, 101 + i) for i in range(20)]]
+    local = _labels(spark, edges)
+    durable = _labels(spark, edges, checkpoint_dir=str(tmp_path / "cc_ckpt"))
+    assert durable == local
+    # the durable path actually wrote checkpoint blocks
+    import glob
+    assert glob.glob(str(tmp_path / "cc_ckpt" / "*" / "*"))
+
+
+def test_duplicate_clusters_durable_checkpoint(spark, tmp_path):
+    from change_data_capturer_ms_spark.operators.dedup_docs import (
+        duplicate_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    want = {r["id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()}
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in duplicate_clusters(
+            pairs, checkpoint_dir=str(tmp_path / "dc_ckpt")
+        ).collect()
+    }
+    assert got == want == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}

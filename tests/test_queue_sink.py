@@ -169,3 +169,75 @@ def test_queue_to_downstream_lake_chain(spark, tmpdir_path):
     sa = a.read().select(*cols).orderBy("repo", "path")
     sb = b.read().select(*cols).orderBy("repo", "path")
     assert sa.exceptAll(sb).count() == 0 and sb.exceptAll(sa).count() == 0
+
+
+def test_consumer_lease_kill_and_resume(spark, tmpdir_path):
+    """Consumer-side lease: poll→process→commit advances a persisted
+    watermark; a killed consumer (new instance, same lease dir) resumes
+    exactly after the last COMMITTED batch; a crash between poll and commit
+    redelivers (at-least-once)."""
+    from change_data_capturer_ms_spark.queue import QueueConsumer
+
+    sink = create_sink("queue-json", spark, os.path.join(tmpdir_path, "qc"))
+    b0 = gen_changelog(spark, 100, seed=40, n_repos=3, paths_per_repo=2)
+    b1 = gen_changelog(spark, 80, seed=41, n_repos=3, paths_per_repo=2)
+    sink.produce(b0, batch_id=0, source_id="cdc")
+    sink.produce(b1, batch_id=1, source_id="cdc")
+
+    seen: list[int] = []
+    c = QueueConsumer(sink, consumer_id="downstream")
+    assert c.current_lease() is None  # fresh consumer: no watermark
+    out = c.process(lambda df: seen.append(df.count()))
+    assert out == {"skipped": False, "lease": "1", "batches": 2}
+    assert seen == [180]
+    assert c.current_lease()["id"] == "downstream"
+
+    # nothing new -> no-op, watermark unchanged
+    assert c.process(lambda df: seen.append(df.count()))["skipped"] is True
+    assert seen == [180]
+
+    # "kill" the consumer: a brand-new instance restores the watermark
+    sink.produce(gen_changelog(spark, 60, seed=42, n_repos=3, paths_per_repo=2),
+                 batch_id=2, source_id="cdc")
+    c2 = QueueConsumer(sink, consumer_id="downstream")
+    df, markers = c2.poll()
+    assert [m["batch_id"] for m in markers] == ["2"]
+    assert df.count() == 60
+
+    # crash between poll and commit: redelivery on the next poll
+    df2, markers2 = c2.poll()
+    assert [m["batch_id"] for m in markers2] == ["2"]
+    c2.commit(markers2)
+    assert c2.current_lease()["lease"] == "2"
+    assert c2.poll()[1] == []
+
+    # corrupt lease decodes as None -> consumer restarts from the beginning
+    with open(c2._lease_path(), "w") as f:
+        f.write("{not json")
+    c3 = QueueConsumer(sink, consumer_id="downstream")
+    assert c3.current_lease() is None
+    _, ms = c3.poll()
+    assert [m["batch_id"] for m in ms] == ["0", "1", "2"]
+
+    # watermark is monotone: committing an older marker never regresses
+    c2.commit(markers2)  # re-commit batch 2 markers after lease repair
+    assert QueueConsumer(sink, consumer_id="downstream").current_lease()["lease"] == "2"
+
+
+def test_consumer_lease_source_filter_and_nonnumeric(spark, tmpdir_path):
+    """A source_id-scoped consumer only tails its source; non-numeric batch
+    ids (DLQ replays) stay outside the numeric watermark tail."""
+    from change_data_capturer_ms_spark.queue import QueueConsumer
+
+    sink = create_sink("queue-json", spark, os.path.join(tmpdir_path, "qs"))
+    b = gen_changelog(spark, 50, seed=43, n_repos=2, paths_per_repo=2)
+    sink.produce(b, batch_id=0, source_id="a")
+    sink.produce(b, batch_id=0, source_id="b")
+    sink.produce(b, batch_id="replay-7", source_id="a")
+
+    ca = QueueConsumer(sink, consumer_id="ca", source_id="a")
+    df, ms = ca.poll()
+    assert [(m["source_id"], m["batch_id"]) for m in ms] == [("a", "0")]
+    assert df.count() == 50
+    ca.commit(ms)
+    assert ca.poll()[1] == []  # replay-7 is non-numeric: not in the tail
