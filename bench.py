@@ -731,7 +731,8 @@ def main() -> None:
     if "--apply-probe" in sys.argv:
         i = sys.argv.index("--apply-probe")
         cores, n_events, workdir = int(sys.argv[i + 1]), int(sys.argv[i + 2]), sys.argv[i + 3]
-        print(json.dumps(apply_probe(cores, n_events, workdir)))
+        reps = int(sys.argv[i + 4]) if len(sys.argv) > i + 4 else 1
+        print(json.dumps(apply_probe(cores, n_events, workdir, repeats=reps)))
         return
     if "--skew-probe" in sys.argv:
         i = sys.argv.index("--skew-probe")
