@@ -11,8 +11,9 @@ cluster):
 Boot order mirrors the reference service (/root/reference/src/index.ts:1-5 →
 createApp eager-config-or-throw, src/utils/configReader.ts:38-44): validate
 config first, then build the session, then start the streaming query. Per-batch
-health/metrics are the `_lease/*.json` documents (the reference's GET /info is a
-static OK, src/app.ts:23-25 — the lease is the useful health surface).
+health/metrics are the `_lease/*.json` documents; `--serve-port` additionally
+serves the reference's HTTP surface (GET /info -> {"status": "OK"},
+src/app.ts:23-25) plus a live GET /status with the lease (health.py).
 
 On a cluster, do NOT pass --master/--cores here; spark-submit owns cluster conf.
 EngineConfig also reads CDC_* environment variables (configReader parity).
@@ -45,6 +46,10 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                         "also produced as JSON message envelopes (K3/K4)")
     p.add_argument("--quarantine", default=None,
                    help="optional DLQ dir: schema-on-read validation split")
+    p.add_argument("--serve-port", type=int, default=None,
+                   help="serve the A1 health endpoint (GET /info -> "
+                        '{"status": "OK"}, GET /status -> live lease) on '
+                        "this port for the duration of the run")
     p.add_argument("--master", default=None,
                    help="local testing only, e.g. local[8]")
     return p.parse_args(argv)
@@ -84,9 +89,21 @@ def main(argv: list[str] | None = None) -> int:
         quarantine_dir=args.quarantine,
         queue_sink=queue_sink,
     )
-    pipe.run_stream(max_files_per_trigger=args.max_files_per_trigger)
-    lease = pipe.current_lease()
-    print(json.dumps({"status": "OK", "lease": lease}, default=str))
+    health = None
+    if args.serve_port is not None:
+        from change_data_capturer_ms_spark.health import HealthServer
+
+        health = HealthServer(
+            args.serve_port,
+            status_provider=lambda: {"lease": pipe.current_lease()},
+        ).start()
+    try:
+        pipe.run_stream(max_files_per_trigger=args.max_files_per_trigger)
+        lease = pipe.current_lease()
+        print(json.dumps({"status": "OK", "lease": lease}, default=str))
+    finally:
+        if health is not None:
+            health.stop()
     return 0
 
 

@@ -241,3 +241,35 @@ def test_consumer_lease_source_filter_and_nonnumeric(spark, tmpdir_path):
     assert df.count() == 50
     ca.commit(ms)
     assert ca.poll()[1] == []  # replay-7 is non-numeric: not in the tail
+
+
+def test_bind_queue_service_attaches_validated_config(spark, tmpdir_path):
+    """K6/F3 end seam: decode-or-raise producer params, then bind the offline
+    sink with the validated config attached (broker_config.bind_queue_service).
+    """
+    import pytest
+
+    from change_data_capturer_ms_spark.queue import (
+        NOT_SUPPORTED_ERROR,
+        bind_queue_service,
+    )
+
+    sas = ("Endpoint=sb://ns.servicebus.windows.net/;"
+           "SharedAccessKeyName=sender;SharedAccessKey=k=;EntityPath=t")
+    sink = bind_queue_service(
+        spark, os.path.join(tmpdir_path, "q4"),
+        {"queueType": "eventhub", "useManagedIdentity": False,
+         "connectionString": sas})
+    assert isinstance(sink, JsonQueueSink)
+    assert sink.producer_config.brokers == ["ns.servicebus.windows.net:9093"]
+    assert sink.producer_config.idempotent is True  # K5 exactly-once contract
+    # the bound sink is the engine's real produce path
+    batch = gen_changelog(spark, 50, seed=35)
+    assert sink.produce(batch, batch_id=0)["rows"] == 50
+    assert sink.consume().count() == 50
+
+    # decode failure must raise BEFORE any sink is constructed
+    with pytest.raises(ValueError, match=NOT_SUPPORTED_ERROR):
+        bind_queue_service(spark, os.path.join(tmpdir_path, "q5"),
+                           {"queueType": "sqs"})
+    assert not os.path.exists(os.path.join(tmpdir_path, "q5"))
