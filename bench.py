@@ -61,19 +61,25 @@ def _sf_tag(sf_dir: str) -> float:
 def _session(cores: int, app: str):
     from change_data_capturer_ms_spark.session import get_spark
 
+    extra = {
+        "spark.ui.enabled": "false",
+        "spark.ui.showConsoleProgress": "false",
+        # local[32] shares one JVM across driver + 32 executor threads:
+        # size the heap for concurrent shuffles + parquet writers, and cap
+        # retained per-query UI/listener state so long sessions stay flat
+        "spark.driver.memory": "48g",
+        "spark.sql.ui.retainedExecutions": "20",
+    }
+    # A/B experiment hook: JSON dict of Spark conf overrides. Overridden runs
+    # are excluded from the official probe history (_record_probe) so
+    # experiments can't contaminate the consolidated baseline.
+    if os.environ.get("CDC_BENCH_EXTRA_CONF"):
+        extra.update(json.loads(os.environ["CDC_BENCH_EXTRA_CONF"]))
     return get_spark(
         app_name=app,
         master=f"local[{cores}]",
         shuffle_partitions=max(cores * 2, 16),
-        extra_conf={
-            "spark.ui.enabled": "false",
-            "spark.ui.showConsoleProgress": "false",
-            # local[32] shares one JVM across driver + 32 executor threads:
-            # size the heap for concurrent shuffles + parquet writers, and cap
-            # retained per-query UI/listener state so long sessions stay flat
-            "spark.driver.memory": "48g",
-            "spark.sql.ui.retainedExecutions": "20",
-        },
+        extra_conf=extra,
     )
 
 
@@ -327,7 +333,13 @@ PROBE_HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 def _record_probe(r: dict, n_events: int) -> None:
     """Append the probe to the session-spanning sample history. Minima over
     MANY interleaved samples are the capability estimate on this noisy host —
-    one pass of 2 samples per config can land entirely inside a noise wave."""
+    one pass of 2 samples per config can land entirely inside a noise wave.
+
+    Samples taken under a CDC_BENCH_EXTRA_CONF override are NOT official
+    engine numbers — they stay out of the history so experiments can't
+    contaminate the consolidated baseline."""
+    if os.environ.get("CDC_BENCH_EXTRA_CONF"):
+        return
     os.makedirs(os.path.dirname(PROBE_HISTORY), exist_ok=True)
     with open(PROBE_HISTORY, "a") as f:
         f.write(json.dumps({"n_events": n_events, "cores": r["cores"],
