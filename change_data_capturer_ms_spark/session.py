@@ -6,7 +6,10 @@ large-cluster execution model and only scaled down by callers for local tests:
 
 - AQE on (runtime re-plan: skew-join split, partition coalescing),
 - Arrow on (pandas UDF hot path is Arrow-batched, never per-row pickle),
-- shuffle partitions explicit (prod: ~2-3x total cores; AQE coalesces down).
+- shuffle partitions explicit (prod: ~2-3x total cores; AQE coalesces down),
+- AQE initialPartitionNum >> shuffle_partitions so big micro-batches split
+  their shuffles fine-grained instead of spilling (see get_spark body for the
+  measured 64M-event evidence), while AQE coalescing keeps small stages cheap.
 """
 
 from __future__ import annotations
@@ -18,14 +21,29 @@ def get_spark(
     app_name: str = "change-data-capturer-ms-spark",
     master: str | None = None,
     shuffle_partitions: int = 32,
+    aqe_initial_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.master(master)
+    # AQE sizes reducers from ACTUAL map output: start shuffles fine-grained
+    # (initialPartitionNum) and let coalescing fold small stages back to
+    # ~advisory size. With only the flat shuffle_partitions count, a growing
+    # micro-batch silently fattens every shuffle partition until it spills —
+    # measured at 64M events x ~1.2 KB (two ~38 GB batch shuffles): 64
+    # partitions = ~600 MB each, wall 120.9/136.4 s; initialPartitionNum=512
+    # = 93.6/112.9 s, 17-23% faster inside the same host-weather window,
+    # identical final_rows (tools/ab_64m.py). A flat shuffle=256 is NOT
+    # equivalent (89.2/155.2 s — unstable): splitting must come with AQE
+    # coalescing or small stages pay the fan-out.
+    if aqe_initial_partitions is None:
+        aqe_initial_partitions = max(8 * shuffle_partitions, 256)
     conf = {
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum":
+            str(aqe_initial_partitions),
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
         "spark.sql.execution.arrow.pyspark.enabled": "true",
