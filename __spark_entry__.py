@@ -660,12 +660,17 @@ def q_dedup_pair_mining(spark, sf_dir):
     transitive-closure step pair mining alone can't express. The DuckDB
     oracle rederives it exactly with a recursive CTE (min reachable id)."""
     docs = _t(spark, sf_dir, "documents")
-    jac = ngram_jaccard_pairs(docs, threshold=0.5, df_cap=1000).select(
+    # both miners read the same word-shingle explode (jaccard 4x: sizes, hot-DF,
+    # both self-join sides; minhash 1x) — materialize it ONCE and share it
+    from change_data_capturer_ms_spark.operators.dedup_docs import word_shingles
+    sh = word_shingles(docs).localCheckpoint(eager=True)
+    jac = ngram_jaccard_pairs(docs, threshold=0.5, df_cap=1000,
+                              shingles=sh).select(
         F.lit("jaccard").alias("src"), "id_a", "id_b",
         F.col("shared").cast("long").alias("shared"),
         F.col("jaccard").alias("sim"),
     )
-    mh = minhash_lsh_pairs(docs, bands=4, min_est=0.5).select(
+    mh = minhash_lsh_pairs(docs, bands=4, min_est=0.5, shingles=sh).select(
         F.lit("minhash").alias("src"), "id_a", "id_b",
         F.lit(None).cast("long").alias("shared"),
         F.col("est_jaccard").alias("sim"),

@@ -703,7 +703,7 @@ def consolidate(n_events: int = 16_000_000) -> None:
             h = json.loads(line)
         except ValueError:
             continue
-        if h.get("n_events") != n_events:
+        if h.get("n_events") != n_events or not h.get("walls"):
             continue
         c = int(h["cores"])
         r = per.setdefault(c, {"cores": c, "final_rows": h["final_rows"],

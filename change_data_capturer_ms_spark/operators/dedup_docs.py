@@ -59,6 +59,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     df_cap: int | None = 1000,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs with word-n-gram Jaccard ≥ threshold (id_a < id_b).
 
@@ -75,8 +76,13 @@ def ngram_jaccard_pairs(
     undercounts pairs whose overlap was purely stop-shingles — the pairs a
     dedup pipeline wants to drop anyway. df_cap=None disables the cap (exact
     baseline for small corpora).
+
+    `shingles` lets the caller pass a pre-materialized `word_shingles` frame
+    (columns id, shingle) — this plan reads the shingle table four times
+    (per-doc sizes, hot-shingle DF, both self-join sides), so sharing one
+    checkpointed frame across miners avoids re-deriving the explode lineage.
     """
-    sh = word_shingles(df, text_col, id_col, n)
+    sh = word_shingles(df, text_col, id_col, n) if shingles is None else shingles
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     sh_join = sh
     if df_cap is not None:
@@ -107,19 +113,20 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per doc: columns mh0..mh{k-1} (k = len(MINHASH_PERMS)).
 
     One aggregation over exploded shingles; each min is partially aggregated
     map-side, so shuffle volume is docs × k longs regardless of shingle count.
+    `shingles` accepts a shared pre-materialized word_shingles frame.
     """
     # materialize the md5 hash as a projected column: aggregate expressions get
     # no common-subexpression elimination, so embedding md5_long56 in each of
     # the k min() aggs would hash every shingle k times
-    sh = word_shingles(df, text_col, id_col, n).withColumn(
-        "h", md5_long56(F.col("shingle"))
-    )
+    sh = (word_shingles(df, text_col, id_col, n) if shingles is None
+          else shingles).withColumn("h", md5_long56(F.col("shingle")))
     aggs = [F.min(minhash_perm(F.col("h"), i)).alias(f"mh{i}")
             for i in range(len(MINHASH_PERMS))]
     return sh.groupBy("id").agg(*aggs)
@@ -132,6 +139,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     min_est: float = 0.0,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH + estimated similarity.
 
@@ -146,7 +154,7 @@ def minhash_lsh_pairs(
     k = len(MINHASH_PERMS)
     assert k % bands == 0
     rows = k // bands
-    sig = minhash_signatures(df, text_col, id_col, n)
+    sig = minhash_signatures(df, text_col, id_col, n, shingles=shingles)
     # explode each doc to (band_idx, band_key) rows and self-join ONCE on the
     # band key — the per-band-loop formulation would recompute the signature
     # aggregation 2*bands times; this computes it once per side and turns the

@@ -115,12 +115,18 @@ def connected_components(
     e = _ckpt(e, checkpoint_dir)
     for _ in range(max_iter):
         nxt = _ckpt(_small_star(_large_star(e)), checkpoint_dir)
-        # fixpoint: both frames are materialized checkpoints, so the two
-        # anti-joins below are cheap; count-equality alone is NOT sufficient
-        # (a round can swap edges without changing the count)
+        # fixpoint = SET equality, in ONE job: both frames are distinct, so
+        # the sets are equal iff no (u, v) group in the tagged union is
+        # single-sided (count 1). Count-equality alone would NOT suffice (a
+        # round can swap edges keeping the count); count+anti-join is correct
+        # but costs 3 jobs per round — on near-dup graphs each round's edge
+        # frame is tiny and fixed job overhead dominates, so one job matters.
         if (
-            nxt.count() == e.count()
-            and nxt.join(e, ["u", "v"], "left_anti").isEmpty()
+            nxt.union(e)
+            .groupBy("u", "v")
+            .count()
+            .filter(F.col("count") < 2)
+            .isEmpty()
         ):
             e = nxt
             break
