@@ -88,20 +88,32 @@ def gen_log(spark, n_events: int, log_dir: str, body_repeat: int = 1,
             reuse: bool = False) -> int:
     """Write the deterministic bench log once; returns actual file count.
 
-    reuse=True keeps an existing log (same seed => byte-identical content),
-    so interleaved probe subprocesses sharing a log dir skip regeneration."""
+    reuse=True keeps an existing log IF its param stamp matches (same seed =>
+    byte-identical content), so probe subprocesses sharing a log dir skip the
+    multi-GB regeneration; a stamp mismatch (changed shape between sessions)
+    regenerates rather than timing against a stale log."""
     from change_data_capturer_ms_spark.sources import gen_changelog
 
-    if reuse:
-        existing = glob.glob(f"{log_dir}/seq_bucket=*/*.parquet")
-        if existing:
-            return len(existing)
+    params = {"n_events": n_events, "body_repeat": body_repeat,
+              "n_files": n_files, "hot_repo_fraction": hot_repo_fraction,
+              "seed": 42, "paths_per_repo": 50}
+    stamp = f"{log_dir}/_gen_params.json"
+    if reuse and os.path.exists(stamp):
+        try:
+            if json.load(open(stamp)) == params:
+                existing = glob.glob(f"{log_dir}/seq_bucket=*/*.parquet")
+                if existing:
+                    return len(existing)
+        except ValueError:
+            pass
     shutil.rmtree(log_dir, ignore_errors=True)
     n_repos = max(200, n_events // 1000)
     log = gen_changelog(spark, n_events, seed=42, n_repos=n_repos, paths_per_repo=50,
                         hot_repo_fraction=hot_repo_fraction, body_repeat=body_repeat)
     (log.repartition(n_files)
         .write.mode("overwrite").partitionBy("seq_bucket").parquet(log_dir))
+    with open(stamp, "w") as f:
+        json.dump(params, f)
     return len(glob.glob(f"{log_dir}/seq_bucket=*/*.parquet"))
 
 
@@ -141,7 +153,8 @@ def apply_once(spark, n_events: int, log_dir: str, n_files: int, workdir: str,
 def bench_apply(spark, n_events: int, workdir: str, n_batches: int = 4,
                 body_repeat: int = 1, n_files: int = 16) -> dict:
     """gen + timed apply (headline-mode convenience)."""
-    n = gen_log(spark, n_events, f"{workdir}/log", body_repeat, n_files)
+    n = gen_log(spark, n_events, f"{workdir}/log", body_repeat, n_files,
+                reuse=True)
     return apply_once(spark, n_events, f"{workdir}/log", n, workdir + "/run",
                       n_batches=n_batches)
 
@@ -170,7 +183,7 @@ def apply_probe(cores: int, n_events: int, workdir: str, repeats: int = 1) -> di
     bench_apply(spark, max(200_000, n_events // 16), f"{workdir}/warm", n_batches=2,
                 body_repeat=SCALING_BODY_REPEAT, n_files=8)
     n_files = gen_log(spark, n_events, f"{workdir}/log", SCALING_BODY_REPEAT,
-                      SCALING_FILES)
+                      SCALING_FILES, reuse=True)
     runs = [apply_once(spark, n_events, f"{workdir}/log", n_files,
                        f"{workdir}/timed{i}", n_batches=2)
             for i in range(repeats)]
@@ -733,7 +746,7 @@ def headline_probe(n_samples: int = 2) -> None:
     spark = _session(CPUS, "cdc-headline-probe")
     spark.sparkContext.setLogLevel("ERROR")
     bench_apply(spark, max(100_000, n_events // 8), f"/tmp/cdc_hprobe_warm", n_batches=2)
-    n_files = gen_log(spark, n_events, "/tmp/cdc_hprobe_log", 1, 16)
+    n_files = gen_log(spark, n_events, "/tmp/cdc_hprobe_log", 1, 16, reuse=True)
     runs = [apply_once(spark, n_events, "/tmp/cdc_hprobe_log", n_files,
                        f"/tmp/cdc_hprobe_{i}", n_batches=4)
             for i in range(n_samples)]
