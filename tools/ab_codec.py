@@ -28,6 +28,8 @@ CONFIGS = {
     "A_base": {},
     "B_pq_zstd": {"spark.sql.parquet.compression.codec": "zstd"},
     "C_io_zstd": {"spark.io.compression.codec": "zstd"},
+    "D_both_zstd": {"spark.sql.parquet.compression.codec": "zstd",
+                    "spark.io.compression.codec": "zstd"},
 }
 RESULTS = "/tmp/abcodec_results.jsonl"
 
@@ -57,8 +59,9 @@ def run_probe(tag: str, conf: dict, n_events: int) -> dict:
 def main():
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     n_events = int(sys.argv[2]) if len(sys.argv) > 2 else 64_000_000
+    tags = sys.argv[3].split(",") if len(sys.argv) > 3 else list(CONFIGS)
     for i in range(rounds):
-        for tag, conf in CONFIGS.items():
+        for tag, conf in ((t, CONFIGS[t]) for t in tags):
             r = run_probe(tag, conf, n_events)
             print(f"[{time.strftime('%H:%M:%S')}] r{i} {tag}: "
                   f"wall={r['wall_sec']} ev/s={r['events_per_sec']} "
