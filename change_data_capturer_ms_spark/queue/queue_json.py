@@ -57,13 +57,16 @@ class JsonQueueSink:
         - "plain" (default): body = to_json(struct(all columns)) — the
           reference's `{ body: item }` produce shape.
         - "debezium": body = the Debezium change-event value — {"payload":
-          {"before": null, "after": {...}|null, "op": "c"/"u"/"d", "source":
-          {"name": source_id, "seq": ...}}} — so any existing Debezium
-          consumer (sink connectors, Flink CDC) can read this engine's feed
-          without adaptation. `op_col` maps insert/update/delete → c/u/d
-          (delete ⇒ after=null; before is always null — the log carries
-          post-images only, which Debezium marks with
-          tombstones-on-delete=false semantics).
+          {"before": {...}|null, "after": {...}|null, "op": "c"/"u"/"d",
+          "source": {"name": source_id, "seq": ...}}} — so any existing
+          Debezium consumer (sink connectors, Flink CDC) can read this
+          engine's feed without adaptation. `op_col` maps
+          insert/update/delete → c/u/d. Deletes carry the event row as
+          `before` (after=null), matching Debezium's contract that a `d`
+          event's key fields are recoverable from the before-image; upserts
+          carry `after` only (the log has post-images only — Debezium's
+          tombstones-on-delete=false posture). `sources/debezium.py
+          decode_debezium` is the inverse.
         """
         if envelope not in ("plain", "debezium"):
             raise ValueError(f"envelope must be 'plain' or 'debezium', "
@@ -94,7 +97,8 @@ class JsonQueueSink:
                        .when(op == "delete", "d")
                        .otherwise("r"))  # snapshot/bootstrap reads
             body = F.to_json(F.struct(F.struct(
-                F.lit(None).cast("string").alias("before"),
+                F.when(op == "delete",
+                       F.struct(*[F.col(c) for c in data_cols])).alias("before"),
                 F.when(op != "delete",
                        F.struct(*[F.col(c) for c in data_cols])).alias("after"),
                 dbz_op.alias("op"),

@@ -1,8 +1,15 @@
 from change_data_capturer_ms_spark.sources.changelog import (
     CHANGE_LOG_SCHEMA,
     ChangeLogReader,
+    JsonChangeLogReader,
     gen_changelog,
     write_changelog,
+)
+from change_data_capturer_ms_spark.sources.debezium import (
+    DEBEZIUM_OP_MAP,
+    DebeziumQueueReader,
+    decode_debezium,
+    debezium_envelope_schema,
 )
 from change_data_capturer_ms_spark.sources.snapshot_cdc import snapshot_to_changelog
 from change_data_capturer_ms_spark.sources.registry import (
@@ -15,6 +22,11 @@ from change_data_capturer_ms_spark.sources.registry import (
 __all__ = [
     "CHANGE_LOG_SCHEMA",
     "ChangeLogReader",
+    "JsonChangeLogReader",
+    "DEBEZIUM_OP_MAP",
+    "DebeziumQueueReader",
+    "decode_debezium",
+    "debezium_envelope_schema",
     "gen_changelog",
     "write_changelog",
     "snapshot_to_changelog",

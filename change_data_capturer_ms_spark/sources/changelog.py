@@ -228,3 +228,67 @@ class ChangeLogReader:
         if max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
         return reader.parquet(self.log_path)
+
+
+class JsonChangeLogReader:
+    """Change-log source over newline-delimited JSON — the wire format real
+    CDC tools emit (Debezium topics, DMS S3 targets, app logs).
+
+    Same resume contract as ChangeLogReader (seq > after_seq, op subset
+    pushed into the scan), plus schema-on-read enforcement: lines that fail
+    to parse against CHANGE_LOG_SCHEMA land in a quarantine frame via
+    Spark's PERMISSIVE corrupt-record column instead of failing the job —
+    the io-ts decode-or-Left edge (/root/reference/src/queue/factory.ts:19-53)
+    at the file-format boundary. `read_batch` returns (events, quarantine).
+
+    Scale note: JSON scans can't prune like bucketed parquet — there is no
+    seq_bucket directory layout and no footer stats — so this source is the
+    INGEST EDGE only; the pipeline lands events into the bucketed parquet
+    log/lake on first touch and every downstream read is columnar. The op/seq
+    predicates still push to the JSON scan (Catalyst JacksonParser skips
+    non-matching rows before they materialize).
+    """
+
+    def __init__(self, spark: SparkSession, log_path: str,
+                 schema: T.StructType | None = None,
+                 timestamp_format: str | None = None):
+        self.spark = spark
+        self.log_path = log_path
+        base = schema if schema is not None else CHANGE_LOG_SCHEMA
+        # nullable clone + corrupt column: PERMISSIVE mode nulls every field of
+        # an unparseable line, so non-null declarations would be violated
+        fields = [T.StructField(f.name, f.dataType, True) for f in base.fields
+                  if f.name != "_corrupt_record"]
+        self.schema = T.StructType(fields + [
+            T.StructField("_corrupt_record", T.StringType(), True)])
+        self.timestamp_format = timestamp_format
+
+    def _read(self) -> DataFrame:
+        reader = (self.spark.read.schema(self.schema)
+                  .option("mode", "PERMISSIVE")
+                  .option("columnNameOfCorruptRecord", "_corrupt_record"))
+        if self.timestamp_format:
+            reader = reader.option("timestampFormat", self.timestamp_format)
+        # cache-free corrupt-column access: Spark refuses filters that
+        # reference ONLY the corrupt column on a raw JSON scan; selecting the
+        # full row first keeps both split branches legal
+        return reader.json(self.log_path)
+
+    def read_batch(
+        self,
+        after_seq: int | None = None,
+        ops: tuple[str, ...] | None = None,
+    ) -> tuple[DataFrame, DataFrame]:
+        """(events, quarantine): events drop the corrupt column; quarantine
+        keeps the raw line + `_reasons` (same DLQ idiom as
+        functions/validate.py, replayable via CDCPipeline.replay_quarantine)."""
+        df = self._read()
+        bad = F.col("_corrupt_record").isNotNull() | F.col("seq").isNull()
+        quarantine = (df.filter(bad)
+                      .withColumn("_reasons", F.array(F.lit("unparseable_json"))))
+        events = df.filter(~bad).drop("_corrupt_record")
+        if after_seq is not None:
+            events = events.filter(F.col("seq") > after_seq)
+        if ops is not None:
+            events = events.filter(F.col("op").isin(*ops))
+        return events, quarantine

@@ -77,3 +77,17 @@ def _queue_json_source(spark, queue_path, key_cols=("repo", "path"), **kwargs):
     envelopes incrementally (consume / consume_incremental)."""
     from change_data_capturer_ms_spark.queue import JsonQueueSink
     return JsonQueueSink(spark, queue_path, key_cols=key_cols, **kwargs)
+
+
+@register_source("changelog-jsonl")
+def _changelog_jsonl_source(spark, log_path, schema=None, **kwargs):
+    """Newline-JSON change log with corrupt-record quarantine (ingest edge)."""
+    from change_data_capturer_ms_spark.sources.changelog import JsonChangeLogReader
+    return JsonChangeLogReader(spark, log_path, schema, **kwargs)
+
+
+@register_source("changelog-debezium")
+def _changelog_debezium_source(spark, queue_path, payload_schema, **kwargs):
+    """Debezium-envelope queue as a change-log source (sources/debezium.py)."""
+    from change_data_capturer_ms_spark.sources.debezium import DebeziumQueueReader
+    return DebeziumQueueReader(spark, queue_path, payload_schema, **kwargs)

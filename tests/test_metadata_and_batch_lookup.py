@@ -85,13 +85,15 @@ def test_debezium_envelope_shape(spark, tmpdir_path):
     for r in env:
         payload = json.loads(r["body"])["payload"]
         assert set(payload) >= {"before", "after", "op", "source"}
-        assert payload["before"] is None
         assert payload["source"]["name"] == "cdc"
         assert isinstance(payload["source"]["seq"], int)
         ops[payload["op"]] += 1
         if payload["op"] == "d":
             assert payload["after"] is None  # explicit null, not missing
+            # delete keys are recoverable from the before-image (Debezium d contract)
+            assert payload["before"]["repo"] == r["key"].split("/", 1)[0]
         else:
+            assert payload["before"] is None
             assert payload["after"]["repo"] == r["key"].split("/", 1)[0]
     # the generator emits all three op kinds
     assert all(v > 0 for v in ops.values()), ops
