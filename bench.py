@@ -311,7 +311,10 @@ def _skew_section() -> str:
             r["walls"].append(h["wall_sec"])
     except FileNotFoundError:
         return ""
-    if len(per) < 2:
+    # the rendered comparison is salted-16 vs unsalted-1; other salt values
+    # may exist in history (the CLI accepts any) — require the pair, don't
+    # crash every consolidate over an experimental sample
+    if 16 not in per or 1 not in per:
         return ""
     n = per[16]["n_events"]
     b16, b1 = min(per[16]["walls"]), min(per[1]["walls"])
@@ -343,7 +346,7 @@ PROBE_HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH", "probes.jsonl")
 
 
-def _record_probe(r: dict, n_events: int) -> None:
+def _record_probe(r: dict, n_events: int, extra: dict | None = None) -> None:
     """Append the probe to the session-spanning sample history. Minima over
     MANY interleaved samples are the capability estimate on this noisy host —
     one pass of 2 samples per config can land entirely inside a noise wave.
@@ -354,11 +357,27 @@ def _record_probe(r: dict, n_events: int) -> None:
     if os.environ.get("CDC_BENCH_EXTRA_CONF"):
         return
     os.makedirs(os.path.dirname(PROBE_HISTORY), exist_ok=True)
+    rec = {"n_events": n_events, "cores": r["cores"],
+           "walls": r["all_wall_sec"],
+           "final_rows": r["final_rows"],
+           "ts": time.time()}
+    if extra:
+        rec.update(extra)
     with open(PROBE_HISTORY, "a") as f:
-        f.write(json.dumps({"n_events": n_events, "cores": r["cores"],
-                            "walls": r["all_wall_sec"],
-                            "final_rows": r["final_rows"],
-                            "ts": time.time()}) + "\n")
+        f.write(json.dumps(rec) + "\n")
+
+
+def read_host_cpu() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from /proc/stat — hypervisor weather gauge.
+
+    Delta steal/total across a probe quantifies how much CPU the neighbors
+    took during THAT sample, turning 'the 8→32 pair collapses under host
+    noise' from an inference into a measurement."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(x) for x in parts]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
 
 
 def _merge_history(results: dict[int, dict], n_events: int) -> dict[int, dict]:
@@ -628,6 +647,55 @@ def _input_linearity_section(base_events: int) -> str:
     )
 
 
+def _steal_section(n_events: int) -> str:
+    """Measured host-weather evidence: probes recorded since r3-session-D
+    carry the /proc/stat steal%% observed across that probe's subprocess
+    (tools/campaign_r3c.py). This turns the 'the 8→32 pair collapses under
+    hypervisor noise' inference into a measurement: pair efficiencies are
+    recomputed over QUIET samples only (steal < 5%%) and reported next to the
+    all-weather numbers."""
+    per: dict[int, list[tuple[float, float]]] = {}
+    try:
+        for line in open(PROBE_HISTORY):
+            try:
+                h = json.loads(line)
+            except ValueError:
+                continue
+            if (h.get("n_events") == n_events and h.get("walls")
+                    and "steal_pct" in h):
+                per.setdefault(int(h["cores"]), []).append(
+                    (h["steal_pct"], min(h["walls"])))
+    except FileNotFoundError:
+        return ""
+    if not per:
+        return ""
+    quiet = {c: [w for s, w in v if s < 5.0] for c, v in per.items()}
+    rows = "".join(
+        f"| local[{c}] | {len(v)} | "
+        + ", ".join(f"{s:.1f}%→{w:.1f}s" for s, w in sorted(v)[:8])
+        + (" …" if len(v) > 8 else "")
+        + (f" | {min(quiet[c]):.2f} |" if quiet[c] else " | — |") + "\n"
+        for c, v in sorted(per.items())
+    )
+    pair_lines = []
+    for lo, hi in ((1, 4), (2, 8), (8, 32)):
+        if quiet.get(lo) and quiet.get(hi):
+            e = (min(quiet[lo]) / min(quiet[hi])) / 4
+            pair_lines.append(
+                f"- local[{lo}] → local[{hi}] (quiet samples only): "
+                f"**{e:.3f}**")
+    return (
+        "\n**Measured host weather per probe** — each probe subprocess "
+        "records the hypervisor steal% across its own run (/proc/stat "
+        "delta, tools/campaign_r3c.py). 'Quiet' = steal < 5%:\n\n"
+        "| config | samples w/ steal | (steal → best wall) samples | "
+        "quiet best wall s |\n|---|---|---|---|\n" + rows +
+        ("\nQuiet-window N→4N efficiencies (same minima rule, quiet "
+         "samples only):\n\n" + "\n".join(pair_lines) + "\n"
+         if pair_lines else "")
+    )
+
+
 def write_baseline_md(n_events: int, results: dict[int, dict], eff: float) -> None:
     os.makedirs("BENCH", exist_ok=True)
     rows = "".join(
@@ -686,6 +754,7 @@ def write_baseline_md(n_events: int, results: dict[int, dict], eff: float) -> No
             "pair collapses). The scaling ladder is coherent: near-linear "
             "through 8 threads, capacity ceiling beyond.\n\n"
             + headline32 +
+            _steal_section(n_events) +
             _input_linearity_section(n_events) +
             "\n**Shuffle sizing at growing batch size** (r3 A/B, "
             "tools/ab_64m.py, interleaved fresh-process runs): with a flat "

@@ -39,6 +39,11 @@ class HealthServer:
         ``current_lease``). Exceptions in the provider degrade to
         ``{"provider_error": str(e)}`` rather than failing the health check —
         a wedged provider must not make the service look dead.
+    host: bind address. The library default is loopback (safe for tests and
+        embedded use); the ``main.py --serve-host`` service entrypoint
+        defaults to ``0.0.0.0`` for parity with the reference's
+        ``app.listen(port)`` (Express binds all interfaces), so external
+        liveness probes can reach the driver.
     """
 
     def __init__(self, port: int = 0,

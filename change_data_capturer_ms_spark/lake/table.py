@@ -1615,15 +1615,25 @@ class LakeTable:
         # unpublished commits on a branch, expiring the intermediate manifest
         # would break fast_forward's parent walk ("not an ancestor") and make
         # a genuinely-publishable branch permanently unpublishable. Walk each
-        # head down to retained MAIN ancestry (not just any pinned version —
-        # stopping at a tag could still leave a gap below it).
+        # head down to its FORK POINT on main's ancestry — stopping only at
+        # RETAINED main would walk a stale branch straight past its fork and
+        # pin main's entire pre-fork history (nothing below keep_last would
+        # ever be reclaimed); stopping at a tag could leave a gap below it.
         main_keep = set(keep_versions) | {self.store.current_version()}
+        main_ancestry = set()
+        mv: int | None = self.store.current_version()
+        while mv is not None:
+            main_ancestry.add(mv)
+            try:
+                mv = self.store.load(mv).parent
+            except FileNotFoundError:
+                break
         pinned = (main_keep
                   | set(self.store.tags().values())
                   | set(self.store.branches().values()))
         for head in self.store.branches().values():
             bv: int | None = head
-            while bv is not None and bv not in main_keep:
+            while bv is not None and bv not in main_ancestry:
                 pinned.add(bv)
                 try:
                     bv = self.store.load(bv).parent

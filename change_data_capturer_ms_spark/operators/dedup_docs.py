@@ -214,8 +214,9 @@ def duplicate_clusters(
     bound or pre-bucket). Iterative ⇒ not oracle-SQL-expressible; verified
     against a union-find reference in tests.
     """
-    from change_data_capturer_ms_spark.operators.graph import _ckpt
+    from change_data_capturer_ms_spark.operators.graph import _Ckpointer
 
+    _ckpt = _Ckpointer(checkpoint_dir)
     edges = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     edges = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -223,7 +224,6 @@ def duplicate_clusters(
     labels = _ckpt(
         edges.select(F.col("u").alias("id")).distinct()
         .withColumn("label", F.col("id")),
-        checkpoint_dir,
     )
     for _ in range(max_iter):
         neigh_min = (
@@ -236,7 +236,6 @@ def duplicate_clusters(
                 "id",
                 F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
             ),
-            checkpoint_dir,
         )
         changed = (
             new_labels.alias("n")

@@ -27,23 +27,54 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def _ckpt(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
-    """Materialize an iterative frame, truncating lineage.
+class _Ckpointer:
+    """Materialize iterative frames, truncating lineage, WITHOUT leaking.
 
     checkpoint_dir=None (default) uses localCheckpoint — right for single-JVM
-    / local-mode runs, blocks live in executor storage. On a real cluster pass
-    a durable dir (HDFS/S3): blocks then survive executor loss mid-iteration,
-    which at 100 TB is not optional — losing one executor 20 rounds into CC
-    would otherwise recompute the whole chain. The dir is set once per
-    SparkContext (setCheckpointDir is idempotent for the same path)."""
-    if checkpoint_dir is None:
-        return df.localCheckpoint(eager=True)
-    sc = df.sparkSession.sparkContext
-    # setCheckpointDir mints a fresh uuid subdir per call — set once per dir
-    if getattr(sc, "_cdc_checkpoint_dir", None) != checkpoint_dir:
-        sc.setCheckpointDir(checkpoint_dir)
-        sc._cdc_checkpoint_dir = checkpoint_dir
-    return df.checkpoint(eager=True)
+    / local-mode runs; blocks live in executor storage and the block manager
+    reclaims them. A durable dir (HDFS/S3 on a cluster) makes each round a
+    parquet write+read under `<dir>/cc-<run>/round-<n>` — blocks then survive
+    executor loss mid-iteration, which at 100 TB is not optional. Unlike
+    `df.checkpoint()` (whose ReliableCheckpointRDD files Spark only deletes
+    with `spark.cleaner.referenceTracking.cleanCheckpoints=true`, default
+    false — up to 2·max_iter full edge-frame copies left behind per run),
+    superseded rounds are deleted here as soon as the fixpoint test no longer
+    reads them (keep-last-2), via the Hadoop FileSystem of whatever scheme
+    the dir uses. Only the final round survives the run — the returned labels
+    frame still reads it — so callers own `cleanup()` / the run dir once the
+    result is consumed (dedup_keep_canonical's anti-join, a write, ...).
+    """
+
+    def __init__(self, checkpoint_dir: str | None):
+        self.dir = checkpoint_dir
+        self.n = 0
+        self.live: list[str] = []
+        if checkpoint_dir is not None:
+            import uuid
+            self.run_dir = f"{checkpoint_dir.rstrip('/')}/cc-{uuid.uuid4().hex[:12]}"
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        if self.dir is None:
+            return df.localCheckpoint(eager=True)
+        path = f"{self.run_dir}/round-{self.n}"
+        self.n += 1
+        df.write.mode("overwrite").parquet(path)
+        out = df.sparkSession.read.parquet(path)
+        self.live.append(path)
+        while len(self.live) > 2:
+            self._delete(df.sparkSession, self.live.pop(0))
+        return out
+
+    def _delete(self, spark, path: str) -> None:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(p, True)
+
+    def cleanup(self, spark) -> None:
+        """Drop the whole run dir — call after the labels are consumed."""
+        if self.dir is not None:
+            self._delete(spark, self.run_dir)
 
 
 def _canon(edges: DataFrame) -> DataFrame:
@@ -108,13 +139,15 @@ def connected_components(
     rather than returning a partial labeling.
 
     `checkpoint_dir`: None = localCheckpoint (single-JVM); a durable path
-    (HDFS/S3 on a cluster) = fault-tolerant `checkpoint()` — identical labels
-    either way (tested), different failure semantics (see `_ckpt`).
+    (HDFS/S3 on a cluster) = fault-tolerant parquet round-checkpoints with
+    keep-last-2 pruning — identical labels either way (tested), different
+    failure semantics (see `_Ckpointer`).
     """
+    _ckpt = _Ckpointer(checkpoint_dir)
     e = _canon(pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")))
-    e = _ckpt(e, checkpoint_dir)
+    e = _ckpt(e)
     for _ in range(max_iter):
-        nxt = _ckpt(_small_star(_large_star(e)), checkpoint_dir)
+        nxt = _ckpt(_small_star(_large_star(e)))
         # fixpoint = SET equality, in ONE job: both frames are distinct, so
         # the sets are equal iff no (u, v) group in the tagged union is
         # single-sided (count 1). Count-equality alone would NOT suffice (a

@@ -207,11 +207,16 @@ class QueueConsumer:
     """
 
     def __init__(self, sink: JsonQueueSink, consumer_id: str = "consumer",
-                 lease_dir: str | None = None, source_id: str | None = None):
+                 lease_dir: str | None = None, source_id: str | None = None,
+                 history_keep: int = 20):
         self.sink = sink
         self.consumer_id = consumer_id
         self.source_id = source_id
         self.lease_dir = lease_dir or os.path.join(sink.path, "_consumer_lease")
+        # audit history is a RING, not an unbounded append: a long-running
+        # consumer commits once per micro-batch, and one small file per commit
+        # forever is exactly the small-file leak the soak test polices
+        self.history_keep = max(int(history_keep), 0)
 
     # -- lease ----------------------------------------------------------------
 
@@ -256,7 +261,10 @@ class QueueConsumer:
 
     def commit(self, markers: list[dict]) -> dict:
         """Advance + persist the watermark AFTER the batches are processed.
-        Atomic (tmp + rename), monotone, with per-commit history for audit."""
+        Atomic (tmp + rename), monotone, with a BOUNDED per-commit audit ring
+        (last `history_keep` commits): filenames carry a monotone commit
+        counter, so a no-advance commit (same `high`) gets its own entry
+        instead of silently overwriting the previous one."""
         if not markers:
             return {"skipped": True, "lease": self._watermark()}
         new_max = max(int(m["batch_id"]) for m in markers)
@@ -269,16 +277,39 @@ class QueueConsumer:
             "rows": sum(int(m.get("rows") or 0) for m in markers),
         }
         os.makedirs(self.lease_dir, exist_ok=True)
-        hist = os.path.join(self.lease_dir,
-                            f"{self.consumer_id}__{high}.json")
         payload = json.dumps(lease, indent=1)
-        with open(hist, "w") as f:
-            f.write(payload)
+        if self.history_keep:
+            ring = self._history_files()
+            seq = 0
+            if ring:
+                try:
+                    seq = int(os.path.basename(ring[-1]).split("__c")[1]
+                              .split("_")[0]) + 1
+                except (IndexError, ValueError):
+                    seq = len(ring)
+            hist = os.path.join(
+                self.lease_dir,
+                f"{self.consumer_id}__c{seq:010d}_b{high}.json")
+            with open(hist, "w") as f:
+                f.write(payload)
+            for old in self._history_files()[:-self.history_keep]:
+                os.unlink(old)
         tmp = self._lease_path() + ".tmp"
         with open(tmp, "w") as f:
             f.write(payload)
         os.replace(tmp, self._lease_path())  # atomic LWW upsert on id
         return {"skipped": False, "lease": str(high), "batches": len(markers)}
+
+    def _history_files(self) -> list[str]:
+        """This consumer's audit-ring files, oldest→newest (name order — the
+        zero-padded commit counter makes lexicographic == chronological)."""
+        try:
+            names = os.listdir(self.lease_dir)
+        except FileNotFoundError:
+            return []
+        pref = f"{self.consumer_id}__c"
+        return sorted(os.path.join(self.lease_dir, n) for n in names
+                      if n.startswith(pref) and n.endswith(".json"))
 
     def process(self, fn) -> dict:
         """One poll→process→commit turn: `fn(envelopes_df)` runs to completion

@@ -269,9 +269,6 @@ class JsonChangeLogReader:
                   .option("columnNameOfCorruptRecord", "_corrupt_record"))
         if self.timestamp_format:
             reader = reader.option("timestampFormat", self.timestamp_format)
-        # cache-free corrupt-column access: Spark refuses filters that
-        # reference ONLY the corrupt column on a raw JSON scan; selecting the
-        # full row first keeps both split branches legal
         return reader.json(self.log_path)
 
     def read_batch(
@@ -281,8 +278,22 @@ class JsonChangeLogReader:
     ) -> tuple[DataFrame, DataFrame]:
         """(events, quarantine): events drop the corrupt column; quarantine
         keeps the raw line + `_reasons` (same DLQ idiom as
-        functions/validate.py, replayable via CDCPipeline.replay_quarantine)."""
-        df = self._read()
+        functions/validate.py, replayable via CDCPipeline.replay_quarantine).
+
+        The parsed frame is CACHED before the split: PERMISSIVE's
+        `_corrupt_record` is projection-dependent (column pruning means a row
+        whose only bad field is never read parses clean under one query and
+        corrupt under another — the same line could flip between events and
+        quarantine, or vanish from both counts). Caching materializes ONE
+        full-schema parse both branches read — Spark's documented remedy.
+        Bounded: this source is the ingest edge, so the cache holds one
+        micro-batch of JSON; the previous batch's cache is unpersisted on the
+        next call."""
+        prev = getattr(self, "_cached", None)
+        if prev is not None:
+            prev.unpersist()
+        df = self._read().cache()
+        self._cached = df
         bad = F.col("_corrupt_record").isNotNull() | F.col("seq").isNull()
         quarantine = (df.filter(bad)
                       .withColumn("_reasons", F.array(F.lit("unparseable_json"))))

@@ -358,18 +358,21 @@ class CDCPipeline:
         Within a grouping set only that set's column varies (the others are
         null constants), so a single window ordered by (count desc, c1, ...,
         cN) reproduces each column's native-type deterministic tiebreak
-        exactly. Collect is bounded by N * top_k rows."""
+        exactly. Collect is bounded by N * top_k rows. Internal aliases are
+        double-underscore-prefixed so a user column literally named `gid`,
+        `n` or `_rk` (all plausible) cannot AMBIGUOUS_REFERENCE the plan."""
         from pyspark.sql.window import Window
 
         cols = list(self.monitor_cols)
-        w = Window.partitionBy("gid").orderBy(
-            F.desc("n"), *[F.col(c) for c in cols])
+        w = Window.partitionBy("__cdc_gid").orderBy(
+            F.desc("__cdc_n"), *[F.col(c) for c in cols])
         top = (
             captured.select(*cols)
             .groupingSets([[c] for c in cols], *cols)
-            .agg(F.count(F.lit(1)).alias("n"), F.grouping_id().alias("gid"))
-            .withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= self.monitor_top_k)
+            .agg(F.count(F.lit(1)).alias("__cdc_n"),
+                 F.grouping_id().alias("__cdc_gid"))
+            .withColumn("__cdc_rk", F.row_number().over(w))
+            .filter(F.col("__cdc_rk") <= self.monitor_top_k)
             .collect()
         )
         # grouping_id bit i (MSB-first in declared column order) set ⇔ column
@@ -379,9 +382,10 @@ class CDCPipeline:
         for i, c in enumerate(cols):
             gid = full ^ (1 << (len(cols) - 1 - i))
             monitor[c] = {
-                ("<null>" if r[c] is None else str(r[c])): int(r["n"])
-                for r in sorted((r for r in top if int(r["gid"]) == gid),
-                                key=lambda r: int(r["_rk"]))
+                ("<null>" if r[c] is None else str(r[c])): int(r["__cdc_n"])
+                for r in sorted(
+                    (r for r in top if int(r["__cdc_gid"]) == gid),
+                    key=lambda r: int(r["__cdc_rk"]))
             }
         return monitor
 

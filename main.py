@@ -50,6 +50,11 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                    help="serve the A1 health endpoint (GET /info -> "
                         '{"status": "OK"}, GET /status -> live lease) on '
                         "this port for the duration of the run")
+    p.add_argument("--serve-host", default="0.0.0.0",
+                   help="health endpoint bind address (default 0.0.0.0 — "
+                        "the reference's app.listen(port) binds all "
+                        "interfaces so external liveness probes can reach "
+                        "the driver; pass 127.0.0.1 to keep it local)")
     p.add_argument("--master", default=None,
                    help="local testing only, e.g. local[8]")
     return p.parse_args(argv)
@@ -96,6 +101,7 @@ def main(argv: list[str] | None = None) -> int:
         health = HealthServer(
             args.serve_port,
             status_provider=lambda: {"lease": pipe.current_lease()},
+            host=args.serve_host,
         ).start()
     try:
         pipe.run_stream(max_files_per_trigger=args.max_files_per_trigger)

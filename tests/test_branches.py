@@ -150,3 +150,34 @@ def test_duplicate_branch_refused(table):
     table.create_branch("b")
     with pytest.raises(ValueError, match="already exists"):
         table.create_branch("b")
+
+
+def test_stale_branch_does_not_pin_prefork_main_history(table, spark):
+    """The branch-ancestry pin walk stops at the FORK POINT on main: a stale
+    branch (main advanced since the cut) must pin only its own unpublished
+    commits, not main's entire pre-fork history — otherwise nothing below
+    keep_last is ever reclaimed once any old branch exists."""
+    import glob as _glob
+    import os as _os
+
+    table.create_branch("stale")
+    tb = table.branch("stale")
+    tb.merge(_batch(spark, [("r7", "w", "branchv")], seq0=70), batch_id=31)
+    fork = table.manifest().version  # branch forked at current main
+    # advance main well past keep_last so pre-fork history becomes expirable
+    for i in range(4):
+        table.merge(_batch(spark, [("r2", "b", f"m{i}")], seq0=80 + i),
+                    batch_id=40 + i)
+    table.expire_snapshots(keep_last=1, orphan_grace_sec=0.0)
+    kept = {int(_os.path.basename(p)[1:-5]) for p in
+            _glob.glob(_os.path.join(table.path, "_meta", "v*.json"))}
+    # the branch's own unpublished commit survives; main ancestry STRICTLY
+    # below the fork is reclaimed (the fix: the walk stops at main ancestry,
+    # not at retained-main, so it cannot drag pre-fork manifests along)
+    assert table.branches()["stale"] in kept
+    assert not [v for v in kept if v < fork], (
+        f"pre-fork main manifests pinned by a stale branch: {sorted(kept)}")
+    # branch stays fully readable; publish correctly refuses (stale)
+    assert _state(tb)[("r7", "w")] == "branchv"
+    with pytest.raises(RuntimeError, match="not an ancestor"):
+        table.fast_forward("stale")

@@ -142,3 +142,24 @@ class TestJsonChangeLog:
         assert events.agg(F.min("seq")).first()[0] == 150
         dels, _ = rdr.read_batch(ops=("delete", "insert"))
         assert dels.filter(~F.col("op").isin("delete", "insert")).count() == 0
+
+    def test_quarantine_split_is_projection_independent(self, spark,
+                                                        tmpdir_path):
+        """PERMISSIVE's corrupt column is populated per-QUERY under column
+        pruning: a line whose only bad field is `ts` parses clean when a
+        narrow projection never reads ts, and corrupt when the full row is
+        read — without the cached full-schema parse, the same line flips
+        between events and quarantine depending on the downstream plan."""
+        d = os.path.join(tmpdir_path, "jl3")
+        gen_changelog(spark, 100, seed=13).write.mode("overwrite").json(d)
+        with open(os.path.join(d, "bad_ts.json"), "w") as f:
+            f.write('{"seq": 9999, "token": "t", "op": "insert", '
+                    '"repo": "r", "path": "p", "commit": "c", "lang": "py", '
+                    '"content": "x", "ts": "not-a-timestamp", '
+                    '"seq_bucket": 0}\n')
+        events, quarantine = JsonChangeLogReader(spark, d).read_batch()
+        # narrow plan (count prunes to ~nothing) and full materialization
+        # must agree on the SAME split
+        assert events.count() == len(events.collect()) == 100
+        assert events.filter(F.col("seq") == 9999).count() == 0
+        assert quarantine.count() == 1

@@ -196,3 +196,25 @@ class TestMonitor:
                     for r in rows}
             assert got3[c] == want, c
         df.unpersist()
+
+    def test_monitor_summary_survives_reserved_like_column_names(
+            self, spark, tmpdir_path):
+        """Monitored columns literally named `gid`, `n` or `_rk` must not
+        collide with the summary's internal aliases (AMBIGUOUS_REFERENCE
+        would fail every micro-batch AFTER its merge committed)."""
+        from change_data_capturer_ms_spark.config import EngineConfig
+        from change_data_capturer_ms_spark.lake.table import LakeTable
+        from change_data_capturer_ms_spark.streaming import CDCPipeline
+
+        table = LakeTable(spark, f"{tmpdir_path}/t", key_cols=["repo", "path"],
+                          n_buckets=4)
+        pipe = CDCPipeline(spark, f"{tmpdir_path}/l", table, f"{tmpdir_path}/c",
+                           cfg=EngineConfig(n_buckets=4),
+                           use_pandas_udfs=False,
+                           monitor_cols=["gid", "n", "_rk"], monitor_top_k=3)
+        df = spark.createDataFrame(
+            [Row(gid="a", n=i % 2, _rk=float(i)) for i in range(10)])
+        got = pipe._monitor_summary(df)
+        assert got["gid"] == {"a": 10}
+        assert got["n"] == {"0": 5, "1": 5}
+        assert len(got["_rk"]) == 3

@@ -273,3 +273,35 @@ def test_bind_queue_service_attaches_validated_config(spark, tmpdir_path):
         bind_queue_service(spark, os.path.join(tmpdir_path, "q5"),
                            {"queueType": "sqs"})
     assert not os.path.exists(os.path.join(tmpdir_path, "q5"))
+
+
+def test_consumer_history_ring_bounded(tmpdir_path):
+    """The consumer's per-commit audit history is a RING (last history_keep
+    commits), not an unbounded small-file append; a no-advance commit (same
+    watermark) gets its own entry instead of overwriting the previous one."""
+    from types import SimpleNamespace
+
+    from change_data_capturer_ms_spark.queue import QueueConsumer
+
+    c = QueueConsumer(SimpleNamespace(path=tmpdir_path), consumer_id="ring",
+                      history_keep=5)
+    for i in range(12):
+        c.commit([{"batch_id": str(i), "rows": 1}])
+    ring = c._history_files()
+    assert len(ring) == 5  # bounded, oldest pruned
+    assert c.current_lease()["lease"] == "11"
+
+    # no-advance commit: watermark stays, history still records the commit
+    before = set(ring)
+    c.commit([{"batch_id": "3", "rows": 1}])  # older than watermark
+    after = c._history_files()
+    assert len(after) == 5
+    assert set(after) != before  # a NEW entry rotated in — no silent overwrite
+    assert c.current_lease()["lease"] == "11"  # monotone
+
+    # history_keep=0 disables the ring entirely
+    c0 = QueueConsumer(SimpleNamespace(path=tmpdir_path), consumer_id="noring",
+                       history_keep=0)
+    c0.commit([{"batch_id": "1", "rows": 1}])
+    assert c0._history_files() == []
+    assert c0.current_lease()["lease"] == "1"

@@ -163,3 +163,5 @@ def test_soak_200_microbatches_bounded_and_resumable(spark, tmpdir_path):
 
     # queue markers hold one entry per micro-batch; every envelope is committed
     assert len(queue.committed_batches()) == batches_b
+    # consumer-side bookkeeping is bounded too: lease doc + audit RING only
+    assert len(os.listdir(consumer.lease_dir)) <= consumer.history_keep + 1

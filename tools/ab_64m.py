@@ -5,9 +5,13 @@ spark.sql.shuffle.partitions = cores*2 = 64; at 64M events x ~1.2 KB each,
 one micro-batch shuffles ~38 GB -> ~600 MB per shuffle partition — spill
 territory. Candidate fixes:
 
-  A  baseline          (shuffle=64, AQE coalesce on)
-  B  initialPartitionNum=512  (AQE splits fine, coalesces small stages back)
-  C  shuffle.partitions=256   (flat raise)
+  A  pre-r3 baseline   (shuffle=64, initialPartitionNum FORCED back to 64 —
+                        since session.py made init=max(8*shuffle, 256) the
+                        ENGINE DEFAULT, an empty conf would silently run the
+                        same plan as B and the A/B would measure nothing)
+  B  initialPartitionNum=512  (AQE splits fine, coalesces small stages back
+                        — this is the engine default being validated)
+  C  shuffle.partitions=256 + init forced 256 (flat raise, no AQE fine-split)
 
 Runs INTERLEAVED (A,B,C, A,B,C, ...) in fresh subprocesses, one at a time
 (CLAUDE.md timing rule). Samples are EXPERIMENTS: CDC_BENCH_EXTRA_CONF keeps
@@ -25,10 +29,13 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CONFIGS = {
-    "A_base": {},
+    "A_base": {
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "64"},
     "B_init512": {
         "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "512"},
-    "C_flat256": {"spark.sql.shuffle.partitions": "256"},
+    "C_flat256": {
+        "spark.sql.shuffle.partitions": "256",
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "256"},
 }
 RESULTS = "/tmp/ab64m_results.jsonl"
 

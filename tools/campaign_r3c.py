@@ -22,16 +22,20 @@ import bench  # noqa: E402
 
 
 def apply_probe(cores: int, n_events: int, repeats: int = 1) -> dict:
+    s0, t0 = bench.read_host_cpu()
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), "--apply-probe",
          str(cores), str(n_events), f"/tmp/cdc_camp_{cores}_{n_events}",
          str(repeats)],
         capture_output=True, text=True, timeout=7200,
     )
+    s1, t1 = bench.read_host_cpu()
+    steal_pct = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
     for line in reversed(out.stdout.strip().splitlines()):
         if line.strip().startswith("{"):
             r = json.loads(line)
-            bench._record_probe(r, n_events)
+            bench._record_probe(r, n_events, extra={"steal_pct": steal_pct})
+            r["steal_pct"] = steal_pct
             return r
     raise RuntimeError(f"probe failed ({cores}, {n_events}):\n"
                        f"{out.stderr[-1500:]}")
@@ -39,7 +43,8 @@ def apply_probe(cores: int, n_events: int, repeats: int = 1) -> dict:
 
 def log(tag, r):
     print(f"[{time.strftime('%H:%M:%S')}] {tag}: wall={r['wall_sec']} "
-          f"ev/s={r['events_per_sec']} rows={r['final_rows']}", flush=True)
+          f"ev/s={r['events_per_sec']} rows={r['final_rows']} "
+          f"steal={r.get('steal_pct', '?')}%", flush=True)
 
 
 def main():
