@@ -91,12 +91,21 @@ def gen_log(spark, n_events: int, log_dir: str, body_repeat: int = 1,
     reuse=True keeps an existing log IF its param stamp matches (same seed =>
     byte-identical content), so probe subprocesses sharing a log dir skip the
     multi-GB regeneration; a stamp mismatch (changed shape between sessions)
-    regenerates rather than timing against a stale log."""
+    regenerates rather than timing against a stale log. The stamp includes a
+    hash of gen_changelog's SOURCE: params alone would let a cached log
+    survive a change to the generator itself, silently folding stale-input
+    samples into the official probe history (CLAUDE.md's _VER rule, applied
+    here automatically)."""
+    import hashlib
+    import inspect
+
     from change_data_capturer_ms_spark.sources import gen_changelog
 
+    gen_src = hashlib.sha256(
+        inspect.getsource(gen_changelog).encode()).hexdigest()[:16]
     params = {"n_events": n_events, "body_repeat": body_repeat,
               "n_files": n_files, "hot_repo_fraction": hot_repo_fraction,
-              "seed": 42, "paths_per_repo": 50}
+              "seed": 42, "paths_per_repo": 50, "gen_src": gen_src}
     stamp = f"{log_dir}/_gen_params.json"
     if reuse and os.path.exists(stamp):
         try:
