@@ -72,7 +72,10 @@ from change_data_capturer_ms_spark.operators.text import (
 )
 from change_data_capturer_ms_spark.operators.reshape import melt, pivot_counts
 
-_VER = "r2b"  # bump to invalidate cached temp tables when semantics change
+_VER = "r3a"  # bump to invalidate cached temp tables when semantics change
+# (r3a: CDCPipeline persists op_class as a payload column — stream-lake caches
+# built pre-r3 have a different on-disk shape even though the queries' explicit
+# selects return identical values)
 
 # Query-count discipline: the driver records at most ~50 CORRECTNESS rows, so the
 # surface is consolidated to exactly 50 entries — operator pairs with one natural

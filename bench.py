@@ -50,6 +50,18 @@ HEADLINE = [
 ]
 
 
+def _engine_stamp() -> str:
+    """Semantic version of the apply pipeline's per-event WORK (see
+    streaming/pipeline.py APPLY_SEMVER). Every probe record carries it and
+    every history fold requires a match: best-of-history across a semantics
+    change would report the lighter pipeline's best wall as the current
+    engine's capability (e.g. pre-r3c probes measured a plan where Catalyst
+    pruned the classify UDF as dead code). Records with no stamp predate r3c
+    and never fold. Lazy import: --consolidate must not need a JVM."""
+    from change_data_capturer_ms_spark.streaming.pipeline import APPLY_SEMVER
+    return APPLY_SEMVER
+
+
 def _sf_tag(sf_dir: str) -> float:
     tag = os.path.basename(os.path.normpath(sf_dir))
     try:
@@ -296,6 +308,7 @@ def run_skew_bench(n_events: int = 16_000_000, rounds: int = 2) -> dict:
                                  f"/tmp/cdc_skew_{salt}_{i}")
             with open(SKEW_HISTORY, "a") as f:
                 f.write(json.dumps({**r, "n_events": n_events,
+                                    "engine": _engine_stamp(),
                                     "ts": time.time()}) + "\n")
             prev = results.get(salt)
             if prev is None or r["wall_sec"] < prev["wall_sec"]:
@@ -308,11 +321,14 @@ def run_skew_bench(n_events: int = 16_000_000, rounds: int = 2) -> dict:
 def _skew_section() -> str:
     """Hot-key skew evidence folded from BENCH/skew_probes.jsonl."""
     per: dict[int, dict] = {}
+    stamp = _engine_stamp()
     try:
         for line in open(SKEW_HISTORY):
             try:
                 h = json.loads(line)
             except ValueError:
+                continue
+            if h.get("engine") != stamp:
                 continue
             s = int(h["salt_buckets"])
             r = per.setdefault(s, {"walls": [], "final_rows": h["final_rows"],
@@ -369,6 +385,7 @@ def _record_probe(r: dict, n_events: int, extra: dict | None = None) -> None:
     rec = {"n_events": n_events, "cores": r["cores"],
            "walls": r["all_wall_sec"],
            "final_rows": r["final_rows"],
+           "engine": _engine_stamp(),
            "ts": time.time()}
     if extra:
         rec.update(extra)
@@ -393,6 +410,7 @@ def _merge_history(results: dict[int, dict], n_events: int) -> dict[int, dict]:
     """Fold historical same-input probes into the per-config run lists/minima."""
     if not os.path.exists(PROBE_HISTORY):
         return results
+    stamp = _engine_stamp()
     for line in open(PROBE_HISTORY):
         try:
             h = json.loads(line)
@@ -401,6 +419,8 @@ def _merge_history(results: dict[int, dict], n_events: int) -> dict[int, dict]:
         c = h.get("cores")
         if h.get("n_events") != n_events or c not in results:
             continue
+        if h.get("engine") != stamp:
+            continue  # different pipeline semver — different per-event work
         if h.get("final_rows") != results[c]["final_rows"]:
             continue  # different engine semantics — not comparable
         known = set(results[c]["all_wall_sec"])
@@ -591,12 +611,14 @@ def _fold_apply_history(apply_stats: dict, n_events: int, cores: int) -> dict:
     same methodology as the scaling probes (BENCH/BASELINE.md)."""
     this_run = dict(apply_stats)
     if os.path.exists(PROBE_HISTORY):
+        stamp = _engine_stamp()
         for line in open(PROBE_HISTORY):
             try:
                 h = json.loads(line)
             except ValueError:
                 continue
             if (h.get("n_events") != n_events or h.get("cores") != cores
+                    or h.get("engine") != stamp
                     or h.get("final_rows") != apply_stats["final_rows"]):
                 continue
             walls = h.get("walls", [])
@@ -620,6 +642,7 @@ def _input_linearity_section(base_events: int) -> str:
     input grows 4x is the profile a 10^10-event ingest extrapolation needs."""
     per: dict[int, float] = {}
     counts: dict[int, int] = {}
+    stamp = _engine_stamp()
     try:
         for line in open(PROBE_HISTORY):
             try:
@@ -627,6 +650,8 @@ def _input_linearity_section(base_events: int) -> str:
             except ValueError:
                 continue
             if int(h.get("cores", 0)) != 32 or h.get("n_events", 0) < 16_000_000:
+                continue
+            if h.get("engine") != stamp:
                 continue
             if not h.get("walls"):  # crashed probe record: min(<inf>) TypeError
                 continue
@@ -664,6 +689,7 @@ def _steal_section(n_events: int) -> str:
     recomputed over QUIET samples only (steal < 5%%) and reported next to the
     all-weather numbers."""
     per: dict[int, list[tuple[float, float]]] = {}
+    stamp = _engine_stamp()
     try:
         for line in open(PROBE_HISTORY):
             try:
@@ -671,6 +697,7 @@ def _steal_section(n_events: int) -> str:
             except ValueError:
                 continue
             if (h.get("n_events") == n_events and h.get("walls")
+                    and h.get("engine") == stamp
                     and "steal_pct" in h):
                 per.setdefault(int(h["cores"]), []).append(
                     (h["steal_pct"], min(h["walls"])))
@@ -742,6 +769,16 @@ def write_baseline_md(n_events: int, results: dict[int, dict], eff: float) -> No
             "shared-hypervisor sandbox shows ~45% CPU steal and identical runs "
             "vary up to 6x when a neighbor-noise wave hits (visible in the run "
             "lists).\n\n"
+            "Every probe record carries the apply pipeline's semantic version "
+            f"(`engine: {_engine_stamp()}`, streaming/pipeline.py "
+            "APPLY_SEMVER) and folds only within a matching stamp. History "
+            "was deliberately RESET at r3c: earlier samples measured a plan "
+            "where the `op_class` column was dropped post-classify, so "
+            "Catalyst pruned the classify UDF as dead code — those walls "
+            "timed strictly less per-event work than the current pipeline "
+            "(which persists the merge-action class as a payload column) and "
+            "folding them in would overstate the engine. Pre-r3c samples "
+            "remain in BENCH/probes.jsonl for provenance, stamp-less.\n\n"
             "| config | events/s (best) | wall sec (best — all observed) | final rows |\n"
             "|---|---|---|---|\n"
             + rows +
@@ -805,6 +842,7 @@ def write_baseline_md(n_events: int, results: dict[int, dict], eff: float) -> No
 def consolidate(n_events: int = 16_000_000) -> None:
     """Rebuild BENCH/BASELINE.md from the probe history alone (no new runs)."""
     per: dict[int, dict] = {}
+    stamp = _engine_stamp()
     for line in open(PROBE_HISTORY):
         try:
             h = json.loads(line)
@@ -812,6 +850,8 @@ def consolidate(n_events: int = 16_000_000) -> None:
             continue
         if h.get("n_events") != n_events or not h.get("walls"):
             continue
+        if h.get("engine") != stamp:
+            continue  # different pipeline semver — different per-event work
         c = int(h["cores"])
         r = per.setdefault(c, {"cores": c, "final_rows": h["final_rows"],
                                "all_wall_sec": [], "wall_sec": float("inf")})

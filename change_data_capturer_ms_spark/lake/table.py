@@ -125,16 +125,52 @@ def widen_type(old: T.DataType, new: T.DataType) -> T.DataType | None:
     return None
 
 
+def _normalize_key_types(df: DataFrame, keys, schema: T.StructType,
+                         ctx: str) -> DataFrame:
+    """Cast a batch/source's KEY columns to the manifest's exact types before
+    any bucket hashing. xxhash64 is type-sensitive (hash of int 5 != hash of
+    long 5): a batch sending int keys into a long-keyed table would plan
+    affected buckets under the int hash while the written union (coerced to
+    the manifest type) lands under the long hash — rows stranded in buckets
+    reads never probe. Narrow→wide casts are value-preserving and silent;
+    a WIDER-than-manifest key raises (that is the stranded-bucket case
+    _evolved_schema refuses for bucket keys)."""
+    for k in keys:
+        if k not in df.columns:
+            continue
+        want, have = schema[k].dataType, df.schema[k].dataType
+        if have == want:
+            continue
+        if widen_type(have, want) == want:
+            df = df.withColumn(k, F.col(k).cast(want))
+        else:
+            raise ValueError(
+                f"{ctx}: key column {k!r} arrives as {have.simpleString()} "
+                f"but the table key is {want.simpleString()} — cast the "
+                "batch to the table's key type (bucket hashes are "
+                "type-sensitive), or rebucket() to re-key the table.")
+    return df
+
+
 def _evolved_schema(
     old_schema: T.StructType, schema_version: int,
     batch_schema: T.StructType, payload_cols: list[str],
+    bucket_key: list[str] | tuple[str, ...] = (),
 ) -> tuple[T.StructType, int]:
     """Schema evolution shared by merge()/merge_into(): additive — new payload
     columns extend the manifest schema (old files read back NULL-filled) — and
     widening — an existing column arriving with a wider compatible type widens
     the schema in place (old narrow files upcast on read, no rewrite). An
     incompatible type change raises HERE, before UNION/CASE coercion can
-    silently rewrite the column. Meta columns always stay last."""
+    silently rewrite the column. Meta columns always stay last.
+
+    Widening a BUCKET-KEY column is refused even when the promotion is
+    otherwise legal: xxhash64 is type-sensitive (hash of int 5 != hash of
+    long 5), so existing rows sit in buckets computed under the old type
+    while planning/lookup would hash under the new one — the old row becomes
+    unreachable (a duplicate live key that deletes can't remove). Iceberg has
+    the same constraint (bucket partition transforms pin the source type);
+    re-key via rebucket() instead."""
     new_fields = [
         f for f in batch_schema.fields
         if f.name in payload_cols and f.name not in old_schema.fieldNames()
@@ -154,6 +190,13 @@ def _evolved_schema(
                 " (legal: int widths, float->double, decimal precision"
                 " growth at the same scale)")
         if w != old_t:
+            if f.name in bucket_key:
+                raise ValueError(
+                    f"schema evolution: column {f.name!r} is a bucket-key "
+                    f"column; widening {old_t.simpleString()} -> "
+                    f"{w.simpleString()} would change its xxhash64 and strand "
+                    "existing rows in buckets reads no longer probe. Cast the "
+                    "batch to the table's key type, or rebucket().")
             widened[f.name] = w
     if not new_fields and not widened:
         return old_schema, schema_version
@@ -508,9 +551,14 @@ class LakeTable:
                               [types[k] for k in m.bucket_key])
             bucket = h % m.n_buckets  # Python % == Spark pmod for positive mod
         except TypeError:
-            # unsupported key type: fall back to the JVM expression (one tiny job)
+            # unsupported key type: fall back to the JVM expression (one tiny
+            # job). Each literal is CAST to the manifest column type before
+            # hashing — xxhash64 is type-sensitive, and e.g. F.lit(Decimal)
+            # infers decimal(38,18) while rows were bucketed at the declared
+            # precision/scale, which would probe the wrong bucket.
             row = self.spark.range(1).select(
-                *[F.lit(key_values[k]).alias(k) for k in m.bucket_key]
+                *[F.lit(key_values[k]).cast(m.schema[k].dataType).alias(k)
+                  for k in m.bucket_key]
             ).select(bucket_expr(m.bucket_key, m.n_buckets).alias("b")).first()
             bucket = int(row["b"])
         # bucket pruning + per-file zone maps: within the key's bucket, a file
@@ -713,7 +761,12 @@ class LakeTable:
         old_schema = m.schema
         payload_cols = [c for c in batch.columns if c not in (seq_col, op_col)]
         schema, schema_version = _evolved_schema(old_schema, m.schema_version,
-                                                 batch.schema, payload_cols)
+                                                 batch.schema, payload_cols,
+                                                 bucket_key=m.bucket_key)
+        batch = _normalize_key_types(batch, keys, schema, "merge")
+        if planning_df is not None:
+            planning_df = _normalize_key_types(planning_df, keys, schema,
+                                               "merge")
         out_cols = [f.name for f in schema.fields]
 
         # 1) cheap planning job: affected buckets + input metrics from the RAW
@@ -928,7 +981,11 @@ class LakeTable:
             raise ValueError(f"merge_into: source lacks key columns {missing}")
         src_payload = [c for c in source.columns if c not in keys]
         schema, schema_version = _evolved_schema(
-            m.schema, m.schema_version, source.schema, src_payload)
+            m.schema, m.schema_version, source.schema, src_payload,
+            bucket_key=m.bucket_key)
+        # keys are excluded from src_payload, so _evolved_schema never sees a
+        # key-type drift here — normalize (or refuse) it explicitly
+        source = _normalize_key_types(source, keys, schema, "merge_into")
         parent_ms = m.lease.get("metrics", {}).get("max_seq")
         parent_ms = -1 if parent_ms is None else int(parent_ms)
         seq_val = parent_ms + 1 if seq is None else int(seq)
@@ -1601,15 +1658,24 @@ class LakeTable:
         cur = self.manifest()
         # walk the ancestry (parent pointers), not a contiguous version range:
         # versions allocate from a global counter once branches exist, so the
-        # last keep_last ANCESTORS are not the last keep_last numbers
+        # last keep_last ANCESTORS are not the last keep_last numbers.
+        # ALWAYS retain keep_last ancestors of the MAIN pointer, even when
+        # this handle is branch-bound: expiry walking only the branch head
+        # would delete main's recently retained history (time travel /
+        # read_incremental(since_version=...) on main would start raising).
         keep_versions: list[int] = []
-        v: int | None = cur.version
-        while v is not None and len(keep_versions) < keep_last:
-            keep_versions.append(v)
-            try:
-                v = self.store.load(v).parent
-            except FileNotFoundError:
-                break
+        heads = {cur.version, self.store.current_version()}
+        for head_v in heads:
+            n_kept = 0
+            v: int | None = head_v
+            while v is not None and n_kept < keep_last:
+                if v not in keep_versions:
+                    keep_versions.append(v)
+                n_kept += 1
+                try:
+                    v = self.store.load(v).parent
+                except FileNotFoundError:
+                    break
         # tagged versions AND branch heads are pinned (Iceberg ref retention).
         # A branch's UNPUBLISHED intermediate ancestry is pinned too: with 2+
         # unpublished commits on a branch, expiring the intermediate manifest
@@ -1855,6 +1921,24 @@ class LakeTable:
         batches, watermarks = prune_ledger(
             parent.committed_batches + [ledger_key], parent.batch_watermarks
         )
+        # a type-widening commit invalidates existing bloom bitmaps for the
+        # widened columns: xxhash64 is type-sensitive, so probing an int-built
+        # bitmap with the new bigint hash yields false "definitely absent" —
+        # files wrongly pruned, rows silently unreadable. Strip those columns'
+        # blooms from this commit's entries (pruning degrades to zone maps for
+        # them; later rewrites rebuild blooms under the new type).
+        old_types = {f.name: f.dataType for f in parent.schema.fields}
+        changed = {f.name for f in schema.fields
+                   if f.name in old_types and f.dataType != old_types[f.name]}
+        if changed and any(f.bloom and (changed & f.bloom.keys())
+                           for f in files):
+            from dataclasses import replace as _dc_replace
+            files = [
+                _dc_replace(f, bloom={c: b for c, b in f.bloom.items()
+                                      if c not in changed} or None)
+                if f.bloom and (changed & f.bloom.keys()) else f
+                for f in files
+            ]
         new = Manifest(
             version=version if version is not None else self.store.next_version(),
             parent=parent.version,

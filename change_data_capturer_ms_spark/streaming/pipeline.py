@@ -37,6 +37,16 @@ from change_data_capturer_ms_spark.lake.table import LakeTable
 from change_data_capturer_ms_spark.operators.dedupe import salted_repartition
 from change_data_capturer_ms_spark.sources.changelog import ChangeLogReader
 
+# Semantic version of the APPLY pipeline's WORK (what a timed run measures).
+# Bump whenever prepare/merge semantics change the amount or kind of work per
+# event — bench probe records carry this stamp and throughput folds ONLY
+# within a matching stamp (BENCH/probes.jsonl history spanning a semantics
+# change would otherwise report the lighter pipeline's best as the current
+# engine's capability). r3c: op_class persists as a payload column, so the
+# classify UDF is real per-event work (pre-r3c history measured a pipeline
+# where Catalyst pruned it as dead code).
+APPLY_SEMVER = "r3c"
+
 
 def prepare_batch(
     df: DataFrame,
@@ -68,7 +78,11 @@ def prepare_batch(
     )
     if flatten_props:
         out = flatten_json_col(out, "props", PROPS_SCHEMA, prefix="p_", drop_source=True)
-    drop = [c for c in ("seq_bucket", "op_class") if c in out.columns]
+    # op_class PERSISTS as a payload column (the merge-action class consumers
+    # filter on) — dropping it here would let Catalyst prune the classify UDF
+    # entirely, making the advertised classify stage dead work. seq_bucket is
+    # the LOG's partition column; it must not leak into the table payload.
+    drop = [c for c in ("seq_bucket",) if c in out.columns]
     return out.drop(*drop)
 
 
@@ -224,6 +238,16 @@ class CDCPipeline:
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> dict:
         """foreachBatch body: [validate →] prepare → merge (idempotent) → lease."""
+        # exactly-once short-circuit FIRST: a batch redelivered after a crash
+        # between the merge commit and the streaming checkpoint would otherwise
+        # (a) append its invalid rows to the DLQ a second time — every
+        # still-quarantined row counted and replayed twice forever — and
+        # (b) burn the full validate + planning scan before merge() no-ops.
+        if self.table.exists():
+            m0 = self.table.manifest()
+            if m0.is_committed(self.source_id, batch_id):
+                return {"skipped": True, "version": m0.version,
+                        "batch_id": batch_id}
         if self.quarantine_dir:
             # schema-on-read enforcement (reference io-ts decode-or-Left,
             # cosmos/utils.ts:76-91): invalid rows go to the DLQ, valid rows on
@@ -447,8 +471,19 @@ class CDCPipeline:
             batch_id=f"dlq-replay-{replay_id}", source_id=self.source_id,
             tiebreakers=["token"],
         )
-        if not result.get("skipped"):
-            self._write_lease(self.table.lease())
+        if result.get("skipped"):
+            # the ledger already holds this replay_id (an earlier replay used
+            # it): NOTHING was applied, so swapping the DLQ now would delete
+            # valid rows that never reached the table — silent data loss for
+            # any rows quarantined SINCE that earlier replay. Leave the
+            # quarantine untouched and surface the collision in the result.
+            shutil.rmtree(tmp, ignore_errors=True)
+            return {"replayed": 0, "still_quarantined": int(n_bad),
+                    "merge": result, "skipped_swap": True,
+                    "reason": f"replay_id {replay_id!r} already committed — "
+                              "pass a fresh replay_id to replay the current "
+                              "quarantine"}
+        self._write_lease(self.table.lease())
 
         shutil.rmtree(old, ignore_errors=True)
         os.rename(qdir, old)
@@ -485,9 +520,17 @@ class CDCPipeline:
         )
         query.awaitTermination(timeout_sec) if timeout_sec else query.awaitTermination()
 
-    def run_batch(self, batch_id: int | str = "manual-0") -> dict:
+    def run_batch(self, batch_id: int | str | None = None) -> dict:
         """One-shot batch apply resuming after the last committed seq — the pull-loop
-        shape (cosmos.ts:51-112) without the streaming engine."""
+        shape (cosmos.ts:51-112) without the streaming engine.
+
+        The default batch_id derives from the RESUME CURSOR (`manual-<after>`),
+        not a constant: a fixed default ("manual-0") collides in the
+        exactly-once ledger across invocations, so every call after the first
+        would silently no-op all newly arrived events (the delete_where
+        default-batch_id bug class). Distinct cursor ⇒ distinct id; same
+        cursor ⇒ the events read are the same set, and the ledger no-op is
+        exactly the dedupe you want."""
         lease = self.table.lease() if self.table.exists() else {}
         try:
             after = int(lease["lease"]) if lease.get("lease") else None
@@ -496,5 +539,7 @@ class CDCPipeline:
             # lease token restarts from the beginning; the idempotent MERGE
             # ledger makes the replay exactly-once
             after = None
+        if batch_id is None:
+            batch_id = f"manual-{-1 if after is None else after}"
         batch = self.reader.read_batch(after_seq=after)
         return self.apply_batch(batch, batch_id)
