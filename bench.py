@@ -672,7 +672,13 @@ def _input_linearity_section(base_events: int) -> str:
     return (
         "\n**Input linearity (local[32], same scaling-shape job, growing "
         "input)** — throughput must hold as the LOG grows, or no cluster "
-        "size rescues a 10^10-event ingest:\n\n"
+        "size rescues a 10^10-event ingest. Minima compare steady-state to "
+        "steady-state: every size folds repeats>=2 probes, because the FIRST "
+        "apply in a fresh JVM pays a fixed ~100 s warm-state cost (JIT/heap "
+        "ramp — /proc/diskstats shows zero disk reads during probes, so it "
+        "is not paging) that a long-running service's later micro-batches "
+        "never see; first-run-only sampling at large sizes would misread "
+        "that fixed cost as sub-linearity:\n\n"
         "| events | best wall s | events/s (best) | samples |\n|---|---|---|---|\n"
         + rows +
         f"\nThroughput at {hi // 1_000_000}M events is **{ratio:.2f}x** the "
@@ -803,7 +809,10 @@ def write_baseline_md(n_events: int, results: dict[int, dict], eff: float) -> No
             _steal_section(n_events) +
             _input_linearity_section(n_events) +
             "\n**Shuffle sizing at growing batch size** (r3 A/B, "
-            "tools/ab_64m.py, interleaved fresh-process runs): with a flat "
+            "tools/ab_64m.py, interleaved fresh-process runs; measured under "
+            "the pre-r3c pipeline — the classify UDF was dead-code-pruned "
+            "there, so the COMPARATIVE conclusion carries, not the absolute "
+            "walls): with a flat "
             "shuffle partition count (cores·2 = 64) a 64M-event run pushes "
             "~600 MB per shuffle partition and spills; AQE "
             "`initialPartitionNum = 8×shuffle` (engine default since r3, "
@@ -816,7 +825,9 @@ def write_baseline_md(n_events: int, results: dict[int, dict], eff: float) -> No
             "letting the engine size reducers from actual map output.\n"
             "\n**Compression codecs** (r3 A/B/C/D, tools/ab_codec.py, 64M "
             "events, interleaved fresh-process runs kept out of official "
-            "history via CDC_BENCH_EXTRA_CONF): parquet-zstd (B), "
+            "history via CDC_BENCH_EXTRA_CONF; pre-r3c pipeline — "
+            "comparative result only, absolute walls are the lighter plan's): "
+            "parquet-zstd (B), "
             "shuffle-io-zstd (C), and both (D) vs Spark defaults (A: snappy "
             "parquet, lz4 shuffle). In the two QUIET host windows the "
             "ordering was consistent and monotone in compression CPU added — "
