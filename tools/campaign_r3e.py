@@ -27,11 +27,38 @@ from tools.campaign_r3c import apply_probe, log  # noqa: E402
 from tools.campaign_r3d import skew  # noqa: E402
 
 
+def share_logs(n_events: int, gen_cores: int = 32,
+               configs=(1, 2, 4, 8)) -> None:
+    """Symlink the gen_cores-generated log into the other configs' workdirs.
+
+    The bench log is deterministic (seed-fixed) and its reuse stamp
+    (_gen_params.json) excludes cores, so every parallelism level times the
+    byte-identical input either way — but generating 2.7 GB inside a
+    local[1]/local[2] session wastes most of an hour per config per /tmp
+    wipe. Symlinks only ever REPLACE a missing/previous link, never a real
+    directory a probe already generated."""
+    src = f"/tmp/cdc_camp_{gen_cores}_{n_events}/log"
+    if not os.path.exists(f"{src}/_gen_params.json"):
+        return
+    for c in configs:
+        d = f"/tmp/cdc_camp_{c}_{n_events}"
+        os.makedirs(d, exist_ok=True)
+        link = f"{d}/log"
+        if os.path.islink(link) or not os.path.exists(link):
+            tmp = f"{link}.tmp_ln"
+            try:
+                os.symlink(src, tmp)
+                os.replace(tmp, link)
+            except OSError:
+                pass
+
+
 def main():
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     skip_128m = bool(int(sys.argv[2])) if len(sys.argv) > 2 else False
     for i in range(rounds):
         log(f"r{i} 32@16M x2", apply_probe(32, 16_000_000, repeats=2))
+        share_logs(16_000_000)
         log(f"r{i} 2@16M x2", apply_probe(2, 16_000_000, repeats=2))
         log(f"r{i} 8@16M x2", apply_probe(8, 16_000_000, repeats=2))
         log(f"r{i} 32@64M x2", apply_probe(32, 64_000_000, repeats=2))
