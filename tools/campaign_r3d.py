@@ -33,11 +33,11 @@ import bench  # noqa: E402
 from tools.campaign_r3c import apply_probe, log  # noqa: E402
 
 
-def skew(salt: int, n_events: int = 16_000_000) -> dict:
+def skew(salt: int, n_events: int = 16_000_000, repeats: int = 2) -> dict:
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), "--skew-probe",
          "32", str(n_events), str(salt), f"/tmp/cdc_skew_log_{n_events}",
-         f"/tmp/cdc_skew_r3d_{salt}"],
+         f"/tmp/cdc_skew_r3d_{salt}", str(repeats)],
         capture_output=True, text=True, timeout=7200,
     )
     for line in reversed(out.stdout.strip().splitlines()):
