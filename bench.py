@@ -209,6 +209,12 @@ def apply_probe(cores: int, n_events: int, workdir: str, repeats: int = 1) -> di
                        f"{workdir}/timed{i}", n_batches=2)
             for i in range(repeats)]
     spark.stop()
+    # the timed lakes are pure measurement residue; at 128M events they plus
+    # the cached logs squeezed /tmp below the next probe's shuffle-spill
+    # headroom (observed ENOSPC-shaped executor death) — drop them eagerly
+    for i in range(repeats):
+        shutil.rmtree(f"{workdir}/timed{i}", ignore_errors=True)
+    shutil.rmtree(f"{workdir}/warm", ignore_errors=True)
     stats = min(runs, key=lambda r: r["wall_sec"])
     stats["cores"] = cores
     stats["all_wall_sec"] = [r["wall_sec"] for r in runs]
@@ -277,6 +283,9 @@ def skew_probe(cores: int, n_events: int, salt_buckets: int,
                        n_batches=2, salt_buckets=salt_buckets)
             for i in range(repeats)]
     spark.stop()
+    for i in range(repeats):
+        shutil.rmtree(f"{workdir}/run{i}", ignore_errors=True)
+    shutil.rmtree(f"{workdir}/warm", ignore_errors=True)
     stats = min(runs, key=lambda r: r["wall_sec"])
     stats["cores"] = cores
     stats["salt_buckets"] = salt_buckets
