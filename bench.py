@@ -203,18 +203,19 @@ def apply_probe(cores: int, n_events: int, workdir: str, repeats: int = 1) -> di
     spark.sparkContext.setLogLevel("ERROR")
     bench_apply(spark, max(200_000, n_events // 16), f"{workdir}/warm", n_batches=2,
                 body_repeat=SCALING_BODY_REPEAT, n_files=8)
+    shutil.rmtree(f"{workdir}/warm", ignore_errors=True)
     n_files = gen_log(spark, n_events, f"{workdir}/log", SCALING_BODY_REPEAT,
                       SCALING_FILES, reuse=True)
-    runs = [apply_once(spark, n_events, f"{workdir}/log", n_files,
-                       f"{workdir}/timed{i}", n_batches=2)
-            for i in range(repeats)]
-    spark.stop()
-    # the timed lakes are pure measurement residue; at 128M events they plus
-    # the cached logs squeezed /tmp below the next probe's shuffle-spill
-    # headroom (observed ENOSPC-shaped executor death) — drop them eagerly
+    # timed lakes are pure measurement residue; at 128M events a previous
+    # repeat's lake plus the cached logs squeezed /tmp below the next run's
+    # shuffle-spill headroom (DiskBlockObjectWriter flush died mid-spill) —
+    # drop each repeat's output before starting the next
+    runs = []
     for i in range(repeats):
+        runs.append(apply_once(spark, n_events, f"{workdir}/log", n_files,
+                               f"{workdir}/timed{i}", n_batches=2))
         shutil.rmtree(f"{workdir}/timed{i}", ignore_errors=True)
-    shutil.rmtree(f"{workdir}/warm", ignore_errors=True)
+    spark.stop()
     stats = min(runs, key=lambda r: r["wall_sec"])
     stats["cores"] = cores
     stats["all_wall_sec"] = [r["wall_sec"] for r in runs]
@@ -279,12 +280,13 @@ def skew_probe(cores: int, n_events: int, salt_buckets: int,
                 n_batches=2, n_files=8)
     n_files = gen_log(spark, n_events, log_dir, body_repeat=1,
                       n_files=SCALING_FILES, hot_repo_fraction=0.5, reuse=True)
-    runs = [apply_once(spark, n_events, log_dir, n_files, f"{workdir}/run{i}",
-                       n_batches=2, salt_buckets=salt_buckets)
-            for i in range(repeats)]
-    spark.stop()
+    runs = []
     for i in range(repeats):
+        runs.append(apply_once(spark, n_events, log_dir, n_files,
+                               f"{workdir}/run{i}", n_batches=2,
+                               salt_buckets=salt_buckets))
         shutil.rmtree(f"{workdir}/run{i}", ignore_errors=True)
+    spark.stop()
     shutil.rmtree(f"{workdir}/warm", ignore_errors=True)
     stats = min(runs, key=lambda r: r["wall_sec"])
     stats["cores"] = cores
