@@ -70,8 +70,13 @@ def test_merge_planning_agg_never_runs_udfs(spark, tmpdir_path):
     )
     plan = _plan(planning)
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
-    # the write-path plan, by contrast, does carry the Arrow UDF stage
-    assert "ArrowEvalPython" in _plan(prepared)
+    # the write-path plan, by contrast, does carry the Arrow UDF stage —
+    # and exactly ONE: classify + sha256 are independent, so Spark fuses them
+    # into a single ArrowEvalPython exchange (one Arrow IPC round trip per
+    # batch, not two). A second node appearing means someone chained the UDFs
+    # through a dependent projection and doubled the Python-boundary cost.
+    write_plan = _plan(prepared)
+    assert write_plan.count("ArrowEvalPython") == 1
 
 
 def test_agg_stays_in_wholestage_codegen(spark, sf_dir):

@@ -48,7 +48,7 @@ def run_probe(tag: str, conf: dict, n_events: int) -> dict:
         env.pop("CDC_BENCH_EXTRA_CONF", None)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), "--apply-probe",
-         "32", str(n_events), f"/tmp/cdc_abj_{tag}", "1"],
+         "32", str(n_events), f"/tmp/cdc_abj_{tag}", "2"],
         capture_output=True, text=True, timeout=5400, env=env)
     for line in reversed(out.stdout.strip().splitlines()):
         if line.strip().startswith("{"):

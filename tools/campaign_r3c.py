@@ -22,20 +22,25 @@ import bench  # noqa: E402
 
 
 def apply_probe(cores: int, n_events: int, repeats: int = 1) -> dict:
-    s0, t0 = bench.read_host_cpu()
+    c0 = bench.read_host_cpu_full()
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), "--apply-probe",
          str(cores), str(n_events), f"/tmp/cdc_camp_{cores}_{n_events}",
          str(repeats)],
         capture_output=True, text=True, timeout=7200,
     )
-    s1, t1 = bench.read_host_cpu()
-    steal_pct = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
+    c1 = bench.read_host_cpu_full()
+    tot = max(c1["total"] - c0["total"], 1)
+    stamp = {
+        "steal_pct": round(100.0 * (c1["steal"] - c0["steal"]) / tot, 2),
+        "sys_pct": round(100.0 * (c1["sys"] - c0["sys"]) / tot, 2),
+        "user_pct": round(100.0 * (c1["user"] - c0["user"]) / tot, 2),
+    }
     for line in reversed(out.stdout.strip().splitlines()):
         if line.strip().startswith("{"):
             r = json.loads(line)
-            bench._record_probe(r, n_events, extra={"steal_pct": steal_pct})
-            r["steal_pct"] = steal_pct
+            bench._record_probe(r, n_events, extra=stamp)
+            r.update(stamp)
             return r
     raise RuntimeError(f"probe failed ({cores}, {n_events}):\n"
                        f"{out.stderr[-1500:]}")
