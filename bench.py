@@ -952,7 +952,19 @@ def write_baseline_md(n_events: int, results: dict[int, dict], eff: float) -> No
             "(5.7 vs 9.6 GB), which wins when the lake lives on object "
             "storage and shuffles cross a network — cluster profiles opt in "
             "via `get_spark(extra_conf={'spark.sql.parquet.compression."
-            "codec': 'zstd'})`; identical `final_rows` under every codec.\n" +
+            "codec': 'zstd'})`; identical `final_rows` under every codec.\n"
+            "\n**Arrow batch size** (r3 A/B, tools/ab_arrow_jvm.py, 16M "
+            "events on the CURRENT r3c pipeline, 3 interleaved fresh-process "
+            "rounds, steady-state repeats, results in "
+            "BENCH/ab_arrow_results.jsonl): 64k rows per Arrow batch beat "
+            "the 10k default in EVERY round — 33.28 vs 35.97 s, 28.01 vs "
+            "35.15 s, 27.00 vs 31.74 s (8-20% faster, identical "
+            "`final_rows`) — confirming the pandas-UDF stage is bounded by "
+            "IPC round-trip count (kernel time per socket write/read under "
+            "nested virt), not pandas compute. 256k was erratic (29.6-80.7 "
+            "s): ~256 MB Arrow chunks per worker spike peak memory. 64k "
+            "(~64 MB per batch per worker) is the engine default since this "
+            "A/B (session.py maxRecordsPerBatch).\n" +
             _skew_section() +
             "\nDeterminism check: `final_rows` is identical at every parallelism "
             "level and every repeat (tombstone-correct LWW MERGE is "
