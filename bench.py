@@ -222,6 +222,12 @@ def apply_probe(cores: int, n_events: int, workdir: str, repeats: int = 1) -> di
         runs.append(apply_once(spark, n_events, f"{workdir}/log", n_files,
                                f"{workdir}/timed{i}", n_batches=n_batches))
         shutil.rmtree(f"{workdir}/timed{i}", ignore_errors=True)
+        # untimed: force ContextCleaner to drop the finished repeat's shuffle
+        # files now (they are only deleted on GC of their ShuffleDependency;
+        # a 128M repeat otherwise leaves ~50 GB of dead spill in blockmgr for
+        # the next repeat to collide with — see session.py periodicGC note)
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(2)
     spark.stop()
     stats = min(runs, key=lambda r: r["wall_sec"])
     stats["cores"] = cores

@@ -70,6 +70,14 @@ def get_spark(
         "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
         # keep Python workers warm between Arrow UDF stages
         "spark.python.worker.reuse": "true",
+        # a CDC driver is LONG-RUNNING: shuffle files of finished micro-batches
+        # are only deleted when ContextCleaner GCs their ShuffleDependency,
+        # and the JVM may not GC for the default 30 min under steady load —
+        # measured here, a 4-micro-batch 128M-event replay accumulated 53 GB
+        # of dead shuffle spill and filled the disk. 2 min keeps peak spill
+        # proportional to ONE batch (executor-disk bound at cluster scale);
+        # the forced GC pause is ~1 s per fire, noise next to any batch
+        "spark.cleaner.periodicGC.interval": "2min",
     }
     if extra_conf:
         conf.update(extra_conf)

@@ -56,21 +56,36 @@ def share_logs(n_events: int, gen_cores: int = 32,
 def main():
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     skip_128m = bool(int(sys.argv[2])) if len(sys.argv) > 2 else False
+
+    def step(tag, fn):
+        # one failed probe (host weather, disk pressure) must not kill the
+        # whole campaign: the round's remaining shapes and the consolidate
+        # are worth more than the lost sample
+        try:
+            log(tag, fn())
+        except Exception as exc:  # noqa: BLE001
+            print(f"[{tag}] FAILED: {exc}", flush=True)
+
     for i in range(rounds):
-        log(f"r{i} 32@16M x2", apply_probe(32, 16_000_000, repeats=2))
+        step(f"r{i} 32@16M x2", lambda: apply_probe(32, 16_000_000, repeats=2))
         share_logs(16_000_000)
-        log(f"r{i} 2@16M x2", apply_probe(2, 16_000_000, repeats=2))
-        log(f"r{i} 8@16M x2", apply_probe(8, 16_000_000, repeats=2))
-        log(f"r{i} 32@64M x2", apply_probe(32, 64_000_000, repeats=2))
-        r16 = skew(16)
-        log(f"r{i} skew16", r16)
-        r1 = skew(1)
-        log(f"r{i} skew1", r1)
-        assert r16["final_rows"] == r1["final_rows"], "salted != unsalted rows"
-        log(f"r{i} 1@16M x2", apply_probe(1, 16_000_000, repeats=2))
-        log(f"r{i} 4@16M x2", apply_probe(4, 16_000_000, repeats=2))
+        step(f"r{i} 2@16M x2", lambda: apply_probe(2, 16_000_000, repeats=2))
+        step(f"r{i} 8@16M x2", lambda: apply_probe(8, 16_000_000, repeats=2))
+        step(f"r{i} 32@64M x2", lambda: apply_probe(32, 64_000_000, repeats=2))
+
+        def skew_pair():
+            r16 = skew(16)
+            log(f"r{i} skew16", r16)
+            r1 = skew(1)
+            assert r16["final_rows"] == r1["final_rows"], \
+                "salted != unsalted rows"
+            return r1
+        step(f"r{i} skew1", skew_pair)
+        step(f"r{i} 1@16M x2", lambda: apply_probe(1, 16_000_000, repeats=2))
+        step(f"r{i} 4@16M x2", lambda: apply_probe(4, 16_000_000, repeats=2))
         if not skip_128m:
-            log(f"r{i} 32@128M x2", apply_probe(32, 128_000_000, repeats=2))
+            step(f"r{i} 32@128M x2",
+                 lambda: apply_probe(32, 128_000_000, repeats=2))
         subprocess.run([sys.executable, os.path.join(REPO, "bench.py"),
                         "--consolidate"], check=False)
     print("campaign r3e done", flush=True)
