@@ -63,6 +63,33 @@ def _engine_stamp() -> str:
     return APPLY_SEMVER
 
 
+# Bench-protocol epoch. The measurement PROTOCOL (not the per-event work)
+# changed mid-r3c: commit 5615f2c capped micro-batches at 32M events (128M
+# runs went 2 -> 4 batches) and commit 139d673 (author ts 1787285086, minutes
+# later) raised the Arrow UDF batch default 10k -> 64k rows (8-20% measured
+# wall change). APPLY_SEMVER correctly stayed 'r3c' — the per-event work is
+# identical — but folding minima/pairs across that boundary compares
+# differently-configured runs of the same job (ADVICE r4: the 128M 'best wall
+# 167.05' was an old 2-batch/10k-Arrow record). Every fold therefore requires
+# BOTH a stamp match and a protocol match; records written since r4 carry
+# `proto` explicitly, older ones infer it from ts at the config-change commit.
+BENCH_PROTO = "p2"
+_PROTO_EPOCH_TS = 1787285086.0  # commit 139d673 (Arrow 64k default)
+
+
+def _proto_of(rec: dict) -> str:
+    return rec.get("proto") or (
+        "p2" if rec.get("ts", 0) >= _PROTO_EPOCH_TS else "p1")
+
+
+def _stamp_ok(rec: dict) -> bool:
+    """True iff a history record measured the CURRENT pipeline semantics
+    (engine stamp) under the CURRENT bench protocol (Arrow batch size,
+    micro-batch cap) — the two preconditions for folding its walls into
+    minima / pair ratios / linearity."""
+    return rec.get("engine") == _engine_stamp() and _proto_of(rec) == BENCH_PROTO
+
+
 def _sf_tag(sf_dir: str) -> float:
     tag = os.path.basename(os.path.normpath(sf_dir))
     try:
@@ -340,6 +367,7 @@ def run_skew_bench(n_events: int = 16_000_000, rounds: int = 2) -> dict:
             with open(SKEW_HISTORY, "a") as f:
                 f.write(json.dumps({**r, "n_events": n_events,
                                     "engine": _engine_stamp(),
+                                    "proto": BENCH_PROTO,
                                     "ts": time.time()}) + "\n")
             prev = results.get(salt)
             if prev is None or r["wall_sec"] < prev["wall_sec"]:
@@ -352,14 +380,13 @@ def run_skew_bench(n_events: int = 16_000_000, rounds: int = 2) -> dict:
 def _skew_section() -> str:
     """Hot-key skew evidence folded from BENCH/skew_probes.jsonl."""
     per: dict[int, dict] = {}
-    stamp = _engine_stamp()
     try:
         for line in open(SKEW_HISTORY):
             try:
                 h = json.loads(line)
             except ValueError:
                 continue
-            if h.get("engine") != stamp:
+            if not _stamp_ok(h):
                 continue
             s = int(h["salt_buckets"])
             r = per.setdefault(s, {"walls": [], "final_rows": h["final_rows"],
@@ -417,6 +444,7 @@ def _record_probe(r: dict, n_events: int, extra: dict | None = None) -> None:
            "walls": r["all_wall_sec"],
            "final_rows": r["final_rows"],
            "engine": _engine_stamp(),
+           "proto": BENCH_PROTO,
            "ts": time.time()}
     if extra:
         rec.update(extra)
@@ -455,7 +483,6 @@ def _merge_history(results: dict[int, dict], n_events: int) -> dict[int, dict]:
     """Fold historical same-input probes into the per-config run lists/minima."""
     if not os.path.exists(PROBE_HISTORY):
         return results
-    stamp = _engine_stamp()
     for line in open(PROBE_HISTORY):
         try:
             h = json.loads(line)
@@ -464,8 +491,8 @@ def _merge_history(results: dict[int, dict], n_events: int) -> dict[int, dict]:
         c = h.get("cores")
         if h.get("n_events") != n_events or c not in results:
             continue
-        if h.get("engine") != stamp:
-            continue  # different pipeline semver — different per-event work
+        if not _stamp_ok(h):
+            continue  # different per-event work OR different bench protocol
         if h.get("final_rows") != results[c]["final_rows"]:
             continue  # different engine semantics — not comparable
         known = set(results[c]["all_wall_sec"])
@@ -656,14 +683,13 @@ def _fold_apply_history(apply_stats: dict, n_events: int, cores: int) -> dict:
     same methodology as the scaling probes (BENCH/BASELINE.md)."""
     this_run = dict(apply_stats)
     if os.path.exists(PROBE_HISTORY):
-        stamp = _engine_stamp()
         for line in open(PROBE_HISTORY):
             try:
                 h = json.loads(line)
             except ValueError:
                 continue
             if (h.get("n_events") != n_events or h.get("cores") != cores
-                    or h.get("engine") != stamp
+                    or not _stamp_ok(h)
                     or h.get("final_rows") != apply_stats["final_rows"]):
                 continue
             walls = h.get("walls", [])
@@ -687,7 +713,6 @@ def _input_linearity_section(base_events: int) -> str:
     input grows 4x is the profile a 10^10-event ingest extrapolation needs."""
     per: dict[int, float] = {}
     counts: dict[int, int] = {}
-    stamp = _engine_stamp()
     try:
         for line in open(PROBE_HISTORY):
             try:
@@ -696,9 +721,14 @@ def _input_linearity_section(base_events: int) -> str:
                 continue
             if int(h.get("cores", 0)) != 32 or h.get("n_events", 0) < 16_000_000:
                 continue
-            if h.get("engine") != stamp:
+            if not _stamp_ok(h):
                 continue
-            if not h.get("walls"):  # crashed probe record: min(<inf>) TypeError
+            if len(h.get("walls", [])) < 2:
+                # crashed probe (empty) or a single-repeat record: the first
+                # apply in a fresh JVM pays a fixed ~100 s warm-state cost,
+                # so a repeats=1 wall is a first-run sample — folding it into
+                # the steady-state minima would contradict the table's stated
+                # methodology (ADVICE r4: the 128M 167.05 single-wall record)
                 continue
             n = int(h["n_events"])
             per[n] = min(per.get(n, float("inf")), *h["walls"])
@@ -740,7 +770,6 @@ def _steal_section(n_events: int) -> str:
     recomputed over QUIET samples only (steal < 5%%) and reported next to the
     all-weather numbers."""
     per: dict[int, list[tuple[float, float]]] = {}
-    stamp = _engine_stamp()
     try:
         for line in open(PROBE_HISTORY):
             try:
@@ -748,7 +777,7 @@ def _steal_section(n_events: int) -> str:
             except ValueError:
                 continue
             if (h.get("n_events") == n_events and h.get("walls")
-                    and h.get("engine") == stamp
+                    and _stamp_ok(h)
                     and "steal_pct" in h):
                 per.setdefault(int(h["cores"]), []).append(
                     (h["steal_pct"], min(h["walls"])))
@@ -793,7 +822,6 @@ def _same_window_pairs_section(n_events: int) -> str:
     placements — which biases a cross-era ratio in either direction. A
     same-window ratio cancels the era entirely; the distribution over windows
     is the controlled measurement, reported alongside the all-time minima."""
-    stamp = _engine_stamp()
     recs: list[tuple[float, int, float]] = []
     try:
         for line in open(PROBE_HISTORY):
@@ -802,7 +830,7 @@ def _same_window_pairs_section(n_events: int) -> str:
             except ValueError:
                 continue
             if (h.get("n_events") == n_events and h.get("walls")
-                    and h.get("engine") == stamp and h.get("ts")):
+                    and _stamp_ok(h) and h.get("ts")):
                 recs.append((h["ts"], int(h["cores"]), min(h["walls"])))
     except FileNotFoundError:
         return ""
@@ -811,18 +839,27 @@ def _same_window_pairs_section(n_events: int) -> str:
     for lo, hi in ((1, 4), (2, 8), (8, 32)):
         los = [r for r in recs if r[1] == lo]
         his = [r for r in recs if r[1] == hi]
-        used: set[int] = set()
+        # globally-closest matching: rank every (lo, hi) candidate within the
+        # 1 h window by |dt| and take pairs greedily smallest-gap-first, each
+        # probe used once. First-come lo-order assignment (the r3 version)
+        # could hand an early lo a hi that is nearest to a LATER lo when
+        # campaign rounds sit <1 h apart, mispairing across rounds and
+        # leaving the truly-adjacent lo unmatched (ADVICE r4).
+        cands = sorted(
+            (abs(t2 - t), i, j)
+            for i, (t, _, _w) in enumerate(los)
+            for j, (t2, _, _w2) in enumerate(his)
+            if abs(t2 - t) <= 3600
+        )
+        used_lo: set[int] = set()
+        used_hi: set[int] = set()
         effs = []
-        for t, _, w in los:
-            best_j = None
-            for j, (t2, _, _w2) in enumerate(his):
-                if j in used or abs(t2 - t) > 3600:
-                    continue
-                if best_j is None or abs(t2 - t) < abs(his[best_j][0] - t):
-                    best_j = j
-            if best_j is not None:
-                used.add(best_j)
-                effs.append(round(w / (4 * his[best_j][2]), 3))
+        for _dt, i, j in cands:
+            if i in used_lo or j in used_hi:
+                continue
+            used_lo.add(i)
+            used_hi.add(j)
+            effs.append(round(los[i][2] / (4 * his[j][2]), 3))
         if effs:
             effs.sort()
             med = effs[len(effs) // 2] if len(effs) % 2 else round(
@@ -894,7 +931,14 @@ def write_baseline_md(n_events: int, results: dict[int, dict], eff: float) -> No
             "timed strictly less per-event work than the current pipeline "
             "(which persists the merge-action class as a payload column) and "
             "folding them in would overstate the engine. Pre-r3c samples "
-            "remain in BENCH/probes.jsonl for provenance, stamp-less.\n\n"
+            "remain in BENCH/probes.jsonl for provenance, stamp-less. Folds "
+            f"additionally require a bench-PROTOCOL match (`proto: {BENCH_PROTO}`): "
+            "mid-r3c the Arrow UDF batch default went 10k→64k rows and 128M "
+            "runs went 2→4 micro-batches — same per-event work, different "
+            "run configuration — so r3c-stamped records from before that "
+            "boundary (inferred by timestamp at the config commit) are "
+            "likewise provenance-only and excluded from minima, pair ratios "
+            "and the linearity table.\n\n"
             "| config | events/s (best) | wall sec (best — all observed) | final rows |\n"
             "|---|---|---|---|\n"
             + rows +
@@ -983,7 +1027,6 @@ def write_baseline_md(n_events: int, results: dict[int, dict], eff: float) -> No
 def consolidate(n_events: int = 16_000_000) -> None:
     """Rebuild BENCH/BASELINE.md from the probe history alone (no new runs)."""
     per: dict[int, dict] = {}
-    stamp = _engine_stamp()
     for line in open(PROBE_HISTORY):
         try:
             h = json.loads(line)
@@ -991,8 +1034,8 @@ def consolidate(n_events: int = 16_000_000) -> None:
             continue
         if h.get("n_events") != n_events or not h.get("walls"):
             continue
-        if h.get("engine") != stamp:
-            continue  # different pipeline semver — different per-event work
+        if not _stamp_ok(h):
+            continue  # different per-event work OR different bench protocol
         c = int(h["cores"])
         r = per.setdefault(c, {"cores": c, "final_rows": h["final_rows"],
                                "all_wall_sec": [], "wall_sec": float("inf")})

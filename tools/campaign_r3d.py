@@ -47,6 +47,7 @@ def skew(salt: int, n_events: int = 16_000_000, repeats: int = 2) -> dict:
             with open(bench.SKEW_HISTORY, "a") as f:
                 f.write(json.dumps({**r, "n_events": n_events,
                                     "engine": bench._engine_stamp(),
+                                    "proto": bench.BENCH_PROTO,
                                     "ts": time.time()}) + "\n")
             return r
     raise RuntimeError(f"skew probe failed (salt={salt}):\n{out.stderr[-1500:]}")

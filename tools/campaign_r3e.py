@@ -60,9 +60,15 @@ def main():
     def step(tag, fn):
         # one failed probe (host weather, disk pressure) must not kill the
         # whole campaign: the round's remaining shapes and the consolidate
-        # are worth more than the lost sample
+        # are worth more than the lost sample. AssertionError is NOT weather:
+        # the only asserts inside probe steps are correctness invariants
+        # (salted == unsalted final_rows), and downgrading a violated
+        # invariant to a printed line would let the campaign consolidate as
+        # if healthy (ADVICE r4) — let it propagate and kill the campaign.
         try:
             log(tag, fn())
+        except AssertionError:
+            raise
         except Exception as exc:  # noqa: BLE001
             print(f"[{tag}] FAILED: {exc}", flush=True)
 
