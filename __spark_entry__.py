@@ -544,8 +544,16 @@ def q_streaming_window_counts(spark, sf_dir):
 def q_asof_join(spark, sf_dir):
     """E8+: as-of join (latest purchase at or before each click, per user) —
     union + ordered-window composition, one key shuffle, no nested-loop join.
-    DuckDB's native ASOF JOIN is the oracle."""
+    DuckDB's native ASOF JOIN is the oracle.
+
+    r4 fold (same join grain, driver cap pinned at 50): src='interval' rows
+    come from streaming/joins.py stream_interval_join run in its batch twin
+    (watermark=None) — every purchase within [click.ts, click.ts + 15 min]
+    per user. Batch ≡ stream for the operator is proven in
+    tests/test_stream_join.py; this surface hash-checks the range+key join
+    semantics against a plain interval-join oracle."""
     from change_data_capturer_ms_spark.operators.joins import asof_join
+    from change_data_capturer_ms_spark.streaming.joins import stream_interval_join
 
     e = _t(spark, sf_dir, "events")
     p = (
@@ -561,7 +569,22 @@ def q_asof_join(spark, sf_dir):
     out = asof_join(c, p, on=["user_id"], left_ts="ts", right_ts="ts",
                     right_cols=["last_purchase_id", "p_epoch"],
                     tiebreaker="last_purchase_id")
-    return out.select("event_id", "user_id", "last_purchase_id", "p_epoch")
+    asof_rows = out.select(
+        F.lit("asof").alias("src"),
+        "event_id", "user_id", "last_purchase_id", "p_epoch",
+    )
+    iv = stream_interval_join(
+        c, p.select("user_id", "ts", "last_purchase_id", "p_epoch"),
+        keys=["user_id"], left_ts="ts", right_ts="ts",
+        watermark=None, lower="0 seconds", upper="15 minutes",
+    )
+    iv_rows = iv.select(
+        F.lit("interval").alias("src"),
+        "event_id", "user_id",
+        F.col("r_last_purchase_id").alias("last_purchase_id"),
+        F.col("r_p_epoch").alias("p_epoch"),
+    )
+    return asof_rows.unionByName(iv_rows)
 
 
 def q_range_join(spark, sf_dir):
@@ -702,10 +725,25 @@ def q_contamination_check(spark, sf_dir):
     itself (doc_id % 97 — no external data in the sandbox). n=3 because the
     synthetic word-soup vocabulary is ~31 words; real decontamination uses
     8–13-grams (GPT-3 appendix C) — identical plan shape, the eval side is
-    broadcast either way."""
+    broadcast either way.
+
+    r4 fold: `kept` = membership in the actual `decontaminate()` output at
+    max_frac=0.0 (the GPT-3 any-overlap-disqualifies rule) — the broadcast
+    LEFT ANTI survivor set LEFT-joined back onto the per-doc check rows, so
+    the surface exercises the real subtraction operator, not a recomputed
+    flag.
+    """
+    from change_data_capturer_ms_spark.operators.contamination import decontaminate
+
     docs = _t(spark, sf_dir, "documents")
     ev = docs.filter(F.col("doc_id") % 97 == 0)
-    return contamination_check(docs, ev, n=3)
+    chk = contamination_check(docs, ev, n=3)
+    kept = decontaminate(docs, ev, n=3, max_frac=0.0).select(
+        F.col("doc_id").alias("id"), F.lit(True).alias("kept")
+    )
+    return chk.join(kept, "id", "left").withColumn(
+        "kept", F.coalesce("kept", F.lit(False))
+    )
 
 
 def q_dedup_simhash_pairs(spark, sf_dir):
@@ -801,7 +839,28 @@ def q_embed_ivf_ann(spark, sf_dir):
 
 
 def q_embed_near_dup(spark, sf_dir):
-    return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3, bits=4)
+    """LSH-bucketed cosine near-dup pairs (src='lsh_pair') + r4 fold:
+    src='semdedup_survivor' = the ids SemDeDup (operators/similarity.py
+    semdedup — per-cell pairwise cosine ≥ tau, min-id representative kept)
+    retains at tau=0.8 over the same hash-seeded 8-cell quantizer as
+    embed_ivf_ann. The oracle rederives the cells, the per-cell pair graph,
+    and min-reachable-id components via a recursive CTE."""
+    from change_data_capturer_ms_spark.operators.similarity import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.3, bits=4).select(
+        F.lit("lsh_pair").alias("src"),
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "cosine",
+    )
+    surv = semdedup(emb, tau=0.8, n_cells=8).select(
+        F.lit("semdedup_survivor").alias("src"),
+        F.col("vec_id").cast("long").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.lit(None).cast("double").alias("cosine"),
+    )
+    return pairs.unionByName(surv)
 
 
 def q_text_quality_langid(spark, sf_dir):
@@ -1345,12 +1404,20 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(SUM(value), 2) AS sum_value FROM events GROUP BY user_id"
         ),
         "asof_join": (
+            # r4 fold: src='asof' = latest purchase at-or-before each click;
+            # src='interval' = EVERY purchase in [click.ts, click.ts+15min]
+            # (stream_interval_join batch twin, lower=0s upper=15min)
             "WITH p AS (SELECT user_id, ts, MAX(event_id) AS last_purchase_id, "
             "  (epoch_us(ts) // 1000000)::BIGINT AS p_epoch FROM events "
             "  WHERE event_type = 'purchase' GROUP BY user_id, ts), "
             "c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') "
-            "SELECT c.event_id, c.user_id, p.last_purchase_id, p.p_epoch "
-            "FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts"
+            "SELECT 'asof' AS src, c.event_id, c.user_id, p.last_purchase_id, p.p_epoch "
+            "FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts "
+            "UNION ALL "
+            "SELECT 'interval' AS src, c.event_id, c.user_id, "
+            "p.last_purchase_id, p.p_epoch "
+            "FROM c JOIN p ON c.user_id = p.user_id "
+            "AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 15 MINUTE"
         ),
         "range_join": (
             "WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events "
@@ -1422,7 +1489,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT s.doc_id AS id, s.n_shingles::BIGINT AS n_shingles, "
             "COALESCE(hits.n_cont, 0)::BIGINT AS n_contaminated, "
             "ROUND(COALESCE(hits.n_cont, 0) / s.n_shingles, 6) AS contamination_frac, "
-            "COALESCE(hits.n_eval, 0)::BIGINT AS n_eval_docs "
+            "COALESCE(hits.n_eval, 0)::BIGINT AS n_eval_docs, "
+            # r4 fold: decontaminate(max_frac=0.0) keeps exactly the zero-
+            # overlap docs, so survivor membership == (n_cont = 0)
+            "(COALESCE(hits.n_cont, 0) = 0) AS kept "
             "FROM sizes s LEFT JOIN hits ON s.doc_id = hits.doc_id"
         ),
         "dedup_simhash_pairs": (
@@ -1541,12 +1611,43 @@ def oracle_sql() -> dict[str, str]:
             "    ORDER BY cos_raw DESC, neighbor_id) AS rank FROM scored) WHERE rank <= 5"
         ),
         "embed_near_dup": (
-            f"WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v, ({bucket_sql})::INT AS bucket "
-            "  FROM embeddings) "
-            "SELECT a.vec_id AS id_a, bb.vec_id AS id_b, "
+            # src='lsh_pair' = signbit-bucketed cosine pairs (threshold 0.3);
+            # src='semdedup_survivor' = SemDeDup keep-set at tau=0.8: cells
+            # from the 8 smallest md5-id hashes (same quantizer as
+            # embed_ivf_ann), per-cell pairs with ROUND(cos,6) >= 0.8,
+            # min-reachable-id components (recursive CTE), survivor = every
+            # vec minus non-root component members
+            "WITH RECURSIVE "
+            f"b AS (SELECT vec_id, embedding::DOUBLE[] AS v, ({bucket_sql})::INT AS bucket "
+            "  FROM embeddings), "
+            f"h AS (SELECT vec_id, v, {_H('vec_id::VARCHAR')} AS h FROM b), "
+            "cent AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell, "
+            "  v AS centroid FROM h ORDER BY h, vec_id LIMIT 8), "
+            "assigned AS (SELECT vec_id, v, cell FROM ("
+            "  SELECT b.vec_id, b.v, cent.cell, ROW_NUMBER() OVER ("
+            "    PARTITION BY b.vec_id "
+            "    ORDER BY list_distance(b.v, cent.centroid), cent.cell) AS rn "
+            "  FROM b CROSS JOIN cent) WHERE rn = 1), "
+            "sp AS (SELECT a.vec_id AS ua, bb.vec_id AS ub "
+            "  FROM assigned a JOIN assigned bb "
+            "  ON a.cell = bb.cell AND a.vec_id < bb.vec_id "
+            "  WHERE ROUND(list_cosine_similarity(a.v, bb.v), 6) >= 0.8), "
+            "edges AS (SELECT ua AS u, ub AS w FROM sp UNION SELECT ub, ua FROM sp), "
+            "reach(id, r) AS ("
+            "  SELECT u, u FROM edges"
+            "  UNION"
+            "  SELECT e.w, reach.r FROM edges e JOIN reach ON reach.id = e.u), "
+            "comp AS (SELECT id, MIN(r) AS root FROM reach GROUP BY id), "
+            "losers AS (SELECT id FROM comp WHERE id <> root) "
+            "SELECT 'lsh_pair' AS src, a.vec_id::BIGINT AS id_a, "
+            "bb.vec_id::BIGINT AS id_b, "
             "ROUND(list_cosine_similarity(a.v, bb.v), 6) AS cosine "
             "FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id "
-            "WHERE ROUND(list_cosine_similarity(a.v, bb.v), 6) >= 0.3"
+            "WHERE ROUND(list_cosine_similarity(a.v, bb.v), 6) >= 0.3 "
+            "UNION ALL "
+            "SELECT 'semdedup_survivor' AS src, vec_id::BIGINT AS id_a, "
+            "NULL::BIGINT AS id_b, NULL::DOUBLE AS cosine FROM embeddings "
+            "WHERE vec_id NOT IN (SELECT id FROM losers)"
         ),
         "text_quality_langid": (
             # outer layers = gopher_filter mirror: failed-rule tags (NULL

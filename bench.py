@@ -167,7 +167,8 @@ def gen_log(spark, n_events: int, log_dir: str, body_repeat: int = 1,
 
 
 def apply_once(spark, n_events: int, log_dir: str, n_files: int, workdir: str,
-               n_batches: int = 2, salt_buckets: int = 16) -> dict:
+               n_batches: int = 2, salt_buckets: int = 16,
+               write_mode: str = "cow", n_buckets: int = 32) -> dict:
     """One timed apply of the full pipeline over an existing log.
 
     salt_buckets=1 disables skew salting (the salt column is constantly 0, so
@@ -181,8 +182,9 @@ def apply_once(spark, n_events: int, log_dir: str, n_files: int, workdir: str,
 
     shutil.rmtree(workdir, ignore_errors=True)
     mft = max(1, math.ceil(n_files / n_batches))
-    cfg = EngineConfig(n_buckets=32, salt_buckets=salt_buckets)
-    table = LakeTable(spark, f"{workdir}/table", key_cols=["repo", "path"], n_buckets=32)
+    cfg = EngineConfig(n_buckets=n_buckets, salt_buckets=salt_buckets)
+    table = LakeTable(spark, f"{workdir}/table", key_cols=["repo", "path"],
+                      n_buckets=n_buckets, write_mode=write_mode)
     pipe = CDCPipeline(spark, log_dir, table, f"{workdir}/ckpt", cfg=cfg,
                        use_pandas_udfs=True, collect_lineage=True, flatten_props=True)
     t0 = time.time()
@@ -348,6 +350,311 @@ def _skew_subprocess(cores: int, n_events: int, salt_buckets: int,
             return json.loads(line)
     raise RuntimeError(f"skew probe failed (salt={salt_buckets}):\n"
                        f"{out.stderr[-2000:]}")
+
+
+WRITEMODE_HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BENCH", "writemode_probes.jsonl")
+
+
+def _du(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            try:
+                total += os.path.getsize(os.path.join(root, fn))
+            except OSError:
+                pass
+    return total
+
+
+def writemode_probe(cores: int, n_events: int, mode: str, workdir: str,
+                    repeats: int = 2) -> dict:
+    """Best-of-`repeats` timed apply at the scaling shape under the given lake
+    write mode ('cow' vs 'mor'), plus the numbers the trade actually turns on
+    at 100 TB: cumulative bytes written (the data dir retains every version's
+    files until expiry, so du(data) == total write volume), warm read-back
+    wall (mor pays a per-bucket LWW aggregation until compaction), and for
+    mor the compact() cost + post-compact read. Fresh process per probe via
+    --writemode-probe; interleave modes across host-weather windows."""
+    from change_data_capturer_ms_spark.lake.table import LakeTable
+
+    spark = _session(cores, f"cdc-wm-{mode}")
+    spark.sparkContext.setLogLevel("ERROR")
+    bench_apply(spark, max(200_000, n_events // 16), f"{workdir}/warm",
+                n_batches=2, body_repeat=SCALING_BODY_REPEAT, n_files=8)
+    shutil.rmtree(f"{workdir}/warm", ignore_errors=True)
+    n_files = gen_log(spark, n_events, f"{workdir}/log", SCALING_BODY_REPEAT,
+                      SCALING_FILES, reuse=True)
+    n_batches = max(2, math.ceil(n_events / 32_000_000))
+    runs = []
+    for i in range(repeats):
+        d = f"{workdir}/timed{i}"
+        r = apply_once(spark, n_events, f"{workdir}/log", n_files, d,
+                       n_batches=n_batches, write_mode=mode)
+        r["data_bytes"] = _du(f"{d}/table/data")
+        tbl = LakeTable(spark, f"{d}/table", key_cols=["repo", "path"])
+        t0 = time.time()
+        tbl.read().count()
+        r["read_sec"] = round(time.time() - t0, 2)
+        if mode == "mor":
+            t0 = time.time()
+            tbl.compact()
+            r["compact_sec"] = round(time.time() - t0, 2)
+            t0 = time.time()
+            r["post_compact_rows"] = tbl.read().count()
+            r["post_compact_read_sec"] = round(time.time() - t0, 2)
+        shutil.rmtree(d, ignore_errors=True)
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(2)
+        runs.append(r)
+    spark.stop()
+    stats = min(runs, key=lambda x: x["wall_sec"])
+    stats["cores"] = cores
+    stats["write_mode"] = mode
+    stats["all_wall_sec"] = [x["wall_sec"] for x in runs]
+    stats["read_sec"] = min(x["read_sec"] for x in runs)
+    if mode == "mor":
+        stats["compact_sec"] = min(x["compact_sec"] for x in runs)
+        stats["post_compact_read_sec"] = min(
+            x["post_compact_read_sec"] for x in runs)
+    return stats
+
+
+def _writemode_section() -> str:
+    """cow-vs-mor write-amplification evidence from BENCH/writemode_probes.jsonl."""
+    per: dict[str, dict] = {}
+    try:
+        for line in open(WRITEMODE_HISTORY):
+            try:
+                h = json.loads(line)
+            except ValueError:
+                continue
+            if not _stamp_ok(h):
+                continue
+            md = h["write_mode"]
+            r = per.setdefault(md, {"walls": [], "reads": [], "compacts": [],
+                                    "bytes": [], "final_rows": h["final_rows"],
+                                    "n_events": h["n_events"]})
+            r["walls"] += h.get("all_wall_sec") or [h["wall_sec"]]
+            r["reads"].append(h["read_sec"])
+            r["bytes"].append(h["data_bytes"])
+            if "compact_sec" in h:
+                r["compacts"].append(h["compact_sec"]
+                                     + h.get("post_compact_read_sec", 0.0))
+    except FileNotFoundError:
+        return ""
+    if "cow" not in per or "mor" not in per:
+        return ""
+    n = per["cow"]["n_events"]
+    same = per["cow"]["final_rows"] == per["mor"]["final_rows"]
+    gb = 1024 ** 3
+
+    def row(md, r):
+        extra = (f"{min(r['compacts']):.1f}" if r["compacts"] else "—")
+        return (f"| {md} | {min(r['walls'])} — all: {sorted(r['walls'])} "
+                f"| {min(r['bytes']) / gb:.2f} | {min(r['reads']):.2f} "
+                f"| {extra} | {r['final_rows']:,} |\n")
+
+    rows = row("cow", per["cow"]) + row("mor", per["mor"])
+    b_cow, b_mor = min(per["cow"]["bytes"]), min(per["mor"]["bytes"])
+    return (
+        f"\n**Write mode: copy-on-write vs merge-on-read** — {n:,} events, "
+        "full pipeline, local[32], fresh process per probe, modes "
+        "interleaved; lake data dir retains every version's files until "
+        "expiry, so its size is the run's TOTAL write volume (write "
+        "amplification), not the live size:\n\n"
+        "| write_mode | apply wall s (best — all) | total GB written | "
+        "warm read s | compact+read s | final rows |\n"
+        "|---|---|---|---|---|---|\n" + rows +
+        f"\ncow writes **{b_cow / b_mor:.1f}x** the bytes of mor for the "
+        "same log (it rewrites every affected bucket per micro-batch; mor "
+        "appends only each batch's per-key winners and defers the rewrite "
+        "to compact()). `final_rows` is "
+        + ("**identical**" if same else "**DIFFERENT (BUG)**")
+        + " under both modes. At 100 TB the write mode is the headline "
+        "cost knob: mor's O(batch) writes win when change volume is high "
+        "relative to read traffic, with compact() amortizing the rewrite "
+        "on a schedule; cow keeps scans single-file-per-bucket and needs "
+        "no compaction. The engine default stays cow (read-optimized; "
+        "this sandbox's bench queries are scan-heavy), with mor the "
+        "documented opt-in for write-dominated deployments "
+        "(lake/table.py write_mode).\n"
+    )
+
+
+PRUNING_HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH", "pruning_probes.jsonl")
+
+
+def pruning_probe(cores: int, n_events: int, workdir: str,
+                  n_buckets: int = 1024) -> dict:
+    """Measure the metadata-pruning stack on a lake bucketed the way the 100 TB
+    config is (EngineConfig scale note: O(10k-100k) buckets; 1024 here): what
+    fraction of files the manifest opens for point lookups (driver-side
+    bucket + zone maps), for an incremental read after a small late batch
+    (max_seq file stats — the read_incremental shape: a batch touching few
+    keys leaves most buckets cold), and batched lookup_many(N) wall vs the
+    naive full-scan broadcast join at N=100 and N=1000. The lake is built by
+    the same scaling-shape apply as the throughput probes (untimed); reads
+    are timed best-of-2. At 32 buckets these numbers degenerate by
+    construction (1000 keys cover every bucket) — bucket count is WHY the
+    100 TB config is 10k+."""
+    from pyspark.sql import functions as F
+
+    from change_data_capturer_ms_spark.config import EngineConfig
+    from change_data_capturer_ms_spark.lake.table import LakeTable
+    from change_data_capturer_ms_spark.sources.changelog import gen_changelog
+    from change_data_capturer_ms_spark.streaming.pipeline import prepare_batch
+
+    spark = _session(cores, "cdc-pruning")
+    spark.sparkContext.setLogLevel("ERROR")
+    n_files = gen_log(spark, n_events, f"{workdir}/log", SCALING_BODY_REPEAT,
+                      SCALING_FILES, reuse=True)
+    d = f"{workdir}/lake"
+    apply_once(spark, n_events, f"{workdir}/log", n_files, d, n_batches=2,
+               n_buckets=n_buckets)
+    tbl = LakeTable(spark, f"{d}/table", key_cols=["repo", "path"])
+    v_pre = tbl.manifest().version
+
+    # small late batch: 100 keys => at 1024 buckets ~90% of buckets stay cold
+    small = gen_changelog(spark, 5_000, seed=7, n_repos=2, paths_per_repo=50,
+                          start_seq=n_events)
+    prepared = prepare_batch(small, EngineConfig(n_buckets=n_buckets),
+                             use_pandas_udfs=False)
+    tbl.merge(prepared, seq_col="seq", op_col="op", batch_id="late-batch",
+              source_id="pruning-probe")
+    m = tbl.manifest()
+    total_files = len(m.files)
+
+    # scatter the sample across the key space (a bare limit() takes the first
+    # scanned file's rows => all keys in a handful of buckets, which would
+    # flatter the ratios); hash-ordering is deterministic
+    keys = [{"repo": r["repo"], "path": r["path"]}
+            for r in (tbl.read().select("repo", "path")
+                      .orderBy(F.xxhash64("repo", "path"))
+                      .limit(1000).collect())]
+
+    # point-lookup pruning: driver-side bucket + zone maps, per key
+    from change_data_capturer_ms_spark.functions.xxh64 import xxhash64_cols
+    types = {f.name: f.dataType.simpleString() for f in m.schema.fields}
+    cand_counts = []
+    for kv in keys[:50]:
+        h = xxhash64_cols([kv[k] for k in m.key_cols],
+                          [types[k] for k in m.key_cols])
+        cand_counts.append(len(tbl.candidate_files(
+            [(k, "=", kv[k]) for k in m.key_cols],
+            buckets={h % m.n_buckets})))
+    lookup_frac = (sum(cand_counts) / len(cand_counts)) / total_files
+
+    # incremental read after the small batch: max_seq stats leave cold
+    # buckets' files unopened (read_incremental's exact pruning rule)
+    old_ms = int(tbl.manifest(v_pre).lease["metrics"]["max_seq"])
+    inc_files = len(tbl.candidate_files([("_last_seq", ">", old_ms)]))
+    t_inc = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        inc_rows = tbl.read_incremental(v_pre).count()
+        t_inc = min(t_inc, time.time() - t0)
+
+    # batched point lookups vs naive full-scan broadcast join
+    out_n: dict[int, dict] = {}
+    for n_k in (100, 1000):
+        sub = keys[:n_k]
+        bks = set()
+        for kv in sub:
+            h = xxhash64_cols([kv[k] for k in m.key_cols],
+                              [types[k] for k in m.key_cols])
+            bks.add(h % m.n_buckets)
+        lm_files = len({f.path for f in m.files if f.bucket in bks})
+        t_lm = t_naive = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            lm_rows = tbl.lookup_many(sub).count()
+            t_lm = min(t_lm, time.time() - t0)
+        key_df = spark.createDataFrame(
+            [(kv["repo"], kv["path"]) for kv in sub],
+            "repo string, path string")
+        for _ in range(2):
+            t0 = time.time()
+            naive_rows = (tbl.read().join(F.broadcast(key_df),
+                                          ["repo", "path"], "inner").count())
+            t_naive = min(t_naive, time.time() - t0)
+        assert lm_rows == naive_rows, (n_k, lm_rows, naive_rows)
+        out_n[n_k] = {"files": lm_files,
+                      "files_frac": round(lm_files / total_files, 4),
+                      "lookup_many_sec": round(t_lm, 2),
+                      "naive_scan_sec": round(t_naive, 2),
+                      "rows": lm_rows}
+    spark.stop()
+    shutil.rmtree(d, ignore_errors=True)
+    return {
+        "n_events": n_events, "cores": cores, "n_buckets": n_buckets,
+        "total_files": total_files,
+        "lookup_files_frac": round(lookup_frac, 6),
+        "incremental_files": inc_files,
+        "incremental_files_frac": round(inc_files / total_files, 4),
+        "incremental_rows": inc_rows, "incremental_sec": round(t_inc, 2),
+        "batched": {str(k): v for k, v in out_n.items()},
+    }
+
+
+def _pruning_section() -> str:
+    """Pruning-stack evidence from BENCH/pruning_probes.jsonl."""
+    best = None
+    try:
+        for line in open(PRUNING_HISTORY):
+            try:
+                h = json.loads(line)
+            except ValueError:
+                continue
+            if not _stamp_ok(h):
+                continue
+            if best is None:
+                best = dict(h)
+            else:  # fold timing minima; structural fields are deterministic
+                best["incremental_sec"] = min(best["incremental_sec"],
+                                              h["incremental_sec"])
+                for n_k, b in h.get("batched", {}).items():
+                    tgt = best["batched"].get(n_k)
+                    if tgt:
+                        for k in ("lookup_many_sec", "naive_scan_sec"):
+                            tgt[k] = min(tgt[k], b[k])
+    except FileNotFoundError:
+        return ""
+    if best is None:
+        return ""
+    lines = []
+    for n_k, b in sorted(best["batched"].items(), key=lambda x: int(x[0])):
+        lines.append(
+            f"- `lookup_many(N={n_k})`: opens {b['files']}/"
+            f"{best['total_files']} files ({b['files_frac'] * 100:.1f}%); "
+            f"**{b['lookup_many_sec']} s** vs {b['naive_scan_sec']} s naive "
+            f"full-scan broadcast join (identical {b['rows']:,} rows, "
+            f"{b['naive_scan_sec'] / max(b['lookup_many_sec'], 0.01):.1f}x)")
+    return (
+        f"\n**Metadata pruning stack** — lake built by the same "
+        f"{best['n_events']:,}-event scaling-shape apply at the 100 TB-shaped "
+        f"bucket count ({best['n_buckets']} buckets, {best['total_files']} "
+        "live files; EngineConfig's scale note says O(10k-100k) buckets in "
+        "production — at the sandbox's 32-bucket default these ratios "
+        "degenerate by construction since 1000 keys cover every bucket), "
+        "then one small late batch (100 keys) merged on top; local[32], "
+        "timings best-of over probe history:\n\n"
+        f"- point lookup (driver-side xxh64 bucket + zone maps): opens "
+        f"**{best['lookup_files_frac'] * 100:.2f}%** of files (avg over 50 "
+        "keys) before any scan task exists\n"
+        f"- incremental read after the small batch "
+        f"(`read_incremental`, max_seq file stats): opens "
+        f"**{best['incremental_files']}/{best['total_files']}** files "
+        f"({best['incremental_files_frac'] * 100:.1f}%) for "
+        f"{best['incremental_rows']:,} changed rows in "
+        f"{best['incremental_sec']} s — cold buckets are never opened, so "
+        "tailing the lake costs O(changed), not O(table)\n"
+        + "\n".join(lines) +
+        "\n\nAt 100 TB the naive denominators grow with the table while the "
+        "pruned paths stay O(matching files + N); the bucket count is the "
+        "knob that keeps N point lookups from covering every bucket.\n"
+    )
 
 
 SKEW_HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -1016,6 +1323,8 @@ def write_baseline_md(n_events: int, results: dict[int, dict], eff: float) -> No
             "(~64 MB per batch per worker) is the engine default since this "
             "A/B (session.py maxRecordsPerBatch).\n" +
             _skew_section() +
+            _writemode_section() +
+            _pruning_section() +
             "\nDeterminism check: `final_rows` is identical at every parallelism "
             "level and every repeat (tombstone-correct LWW MERGE is "
             "batch-boundary- and partitioning-independent).\n\n"
@@ -1095,6 +1404,20 @@ def main() -> None:
         print(json.dumps(skew_probe(int(sys.argv[i + 1]), int(sys.argv[i + 2]),
                                     int(sys.argv[i + 3]), sys.argv[i + 4],
                                     sys.argv[i + 5], repeats=reps)))
+        return
+    if "--pruning-probe" in sys.argv:
+        i = sys.argv.index("--pruning-probe")
+        print(json.dumps(pruning_probe(int(sys.argv[i + 1]),
+                                       int(sys.argv[i + 2]),
+                                       sys.argv[i + 3])))
+        return
+    if "--writemode-probe" in sys.argv:
+        i = sys.argv.index("--writemode-probe")
+        reps = int(sys.argv[i + 5]) if len(sys.argv) > i + 5 else 2
+        print(json.dumps(writemode_probe(int(sys.argv[i + 1]),
+                                         int(sys.argv[i + 2]),
+                                         sys.argv[i + 3], sys.argv[i + 4],
+                                         repeats=reps)))
         return
     if "--skew" in sys.argv:
         res = run_skew_bench(rounds=int(os.environ.get("SPARK_GRAFT_SKEW_ROUNDS", "2")))

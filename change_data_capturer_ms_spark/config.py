@@ -33,6 +33,12 @@ class EngineConfig:
     # streaming
     max_events_per_trigger: int = 1_000_000
     lease_prefix: str = "cdc-data-lease"  # reference default lease container name
+    # per-batch lease-history ring size: _lease/batch_*.json is the audit /
+    # drift-monitor trail; a 10^10-event deployment runs millions of
+    # micro-batches, so the trail must be a RING, not append-only (the soak
+    # asserts boundedness). 512 batches of history is ample for drift scoring
+    # (monitor_drift compares consecutive batches) and incident forensics.
+    lease_history_keep: int = 512
     # spark
     shuffle_partitions: int = 32
     # op-type filter: the reference captures only insert|update|replace
@@ -45,7 +51,8 @@ class EngineConfig:
 
         problems = []
         for name in ("n_buckets", "salt_buckets", "shuffle_partitions",
-                     "max_events_per_trigger", "target_file_bytes"):
+                     "max_events_per_trigger", "target_file_bytes",
+                     "lease_history_keep"):
             v = getattr(self, name)
             if not isinstance(v, int) or v <= 0:
                 problems.append(f"{name}: expected positive int, got {v!r}")

@@ -574,12 +574,21 @@ class LakeTable:
         filters: list[tuple],
         version: int | None = None,
         buckets: set[int] | None = None,
+        file_pool: list | None = None,
+        manifest: "Manifest | None" = None,
     ) -> list[FileEntry]:
         """The manifest entries that can contain a match for `filters` —
         zone-map ([min,max]) plus bloom (equality membership) skipping, all
         driver-side, before any scan task exists. Under write_mode='mor' only
-        key columns participate (see read_where)."""
-        m = self.manifest(version)
+        key columns participate (see read_where).
+
+        `file_pool` restricts the candidate scan to a pre-filtered entry list
+        and `manifest` reuses an already-loaded snapshot: callers batching
+        many lookups index files by bucket and load the manifest ONCE instead
+        of re-reading+parsing it per key (lookup_many; measured 15 s of
+        driver time at 1000 keys x 1024 files before these seams)."""
+        m = manifest if manifest is not None else self.manifest(version)
+        pool = m.files if file_pool is None else file_pool
         prunable = set(m.key_cols) if m.write_mode == "mor" else None
         eq_hashes: dict[str, int | None] = {}
         if m.bloom_cols:
@@ -592,7 +601,7 @@ class LakeTable:
                 if op == "=" and c in m.bloom_cols and c in types
             }
         return [
-            f for f in m.files
+            f for f in pool
             if (buckets is None or f.bucket in buckets)
             and all(
                 _file_may_match(f, c, op, v, eq_hash=eq_hashes.get(c))
@@ -1462,17 +1471,24 @@ class LakeTable:
         from change_data_capturer_ms_spark.functions.xxh64 import xxhash64_cols
 
         types = {f.name: f.dataType.simpleString() for f in m.schema.fields}
+        # bucket -> files index built ONCE: the per-key candidate scan then
+        # touches only the key's bucket (O(files/bucket)), not the whole
+        # manifest (O(files) x N keys was seconds of driver time at 1024
+        # files x 1000 keys — measured by bench.py pruning_probe)
+        by_bucket: dict[int, list[FileEntry]] = {}
+        for f in m.files:
+            by_bucket.setdefault(f.bucket, []).append(f)
         entries: dict[str, FileEntry] = {}
         for kv in keys:
             try:
                 h = xxhash64_cols([kv[k] for k in m.bucket_key],
                                   [types[k] for k in m.bucket_key])
-                buckets = {h % m.n_buckets}
+                pool = by_bucket.get(h % m.n_buckets, [])
             except TypeError:
-                buckets = None  # unsupported key type: zone/bloom pruning only
+                pool = None  # unsupported key type: zone/bloom pruning only
             for f in self.candidate_files(
                     [(k, "=", kv[k]) for k in m.key_cols],
-                    version=version, buckets=buckets):
+                    version=version, file_pool=pool, manifest=m):
                 entries[f.path] = f
         base = self._frame(m, list(entries.values()), False)
         key_df = self.spark.createDataFrame(

@@ -16,6 +16,26 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
+# Named conf profiles layered between the engine defaults and the caller's
+# extra_conf. Every knob here has measured A/B evidence; the defaults body
+# below documents the knobs that are ALWAYS on (AQE 8x initialPartitionNum,
+# Arrow 64k batches, 2-min periodic GC, worker reuse).
+PROFILES: dict[str, dict[str, str]] = {
+    # Multi-executor cluster where the lake lives on object storage and
+    # shuffles cross a real network — the regime where byte COUNT, not
+    # compression CPU, is the binding cost. Both knobs measurably LOSE a few
+    # percent on the local bench (tools/ab_codec.py, 64M events: quiet-window
+    # walls A 73.4/76.6 s vs zstd variants 77-82 s) because this sandbox's
+    # lake is page-cache-resident and local shuffle IO is nearly free, so
+    # compression is pure CPU; but parquet-zstd shrank the same lake 41%
+    # (5.7 vs 9.6 GB, identical final_rows) — the winning trade once reads
+    # and shuffle bytes are network-priced. See BENCH/BASELINE.md codecs.
+    "cluster": {
+        "spark.sql.parquet.compression.codec": "zstd",
+        "spark.io.compression.codec": "zstd",
+    },
+}
+
 
 def get_spark(
     app_name: str = "change-data-capturer-ms-spark",
@@ -23,6 +43,7 @@ def get_spark(
     shuffle_partitions: int = 32,
     aqe_initial_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    profile: str | None = None,
 ) -> SparkSession:
     builder = SparkSession.builder.appName(app_name)
     if master:
@@ -79,6 +100,11 @@ def get_spark(
         # the forced GC pause is ~1 s per fire, noise next to any batch
         "spark.cleaner.periodicGC.interval": "2min",
     }
+    if profile is not None:
+        if profile not in PROFILES:
+            raise ValueError(
+                f"unknown profile {profile!r}; available: {sorted(PROFILES)}")
+        conf.update(PROFILES[profile])
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -160,7 +160,10 @@ class CDCPipeline:
 
     def _write_lease(self, lease: dict) -> None:
         """Mirror of the reference lease upsert: one doc per source id, LWW
-        (cosmos.ts:91-105), plus an append-only history for audit."""
+        (cosmos.ts:91-105), plus a bounded per-batch history RING for audit
+        and drift scoring (cfg.lease_history_keep): millions of micro-batches
+        must not mean millions of sidecar files — boundedness is a soak
+        invariant (tests/test_soak.py)."""
         os.makedirs(self.lease_dir, exist_ok=True)
         hist = os.path.join(self.lease_dir, f"batch_{lease['batch_id']}.json")
         cur_tmp = os.path.join(self.lease_dir, "_current.tmp")
@@ -171,6 +174,30 @@ class CDCPipeline:
         with open(cur_tmp, "w") as f:
             f.write(payload)
         os.replace(cur_tmp, cur)  # atomic LWW upsert on id
+        self._prune_lease_history()
+
+    def _prune_lease_history(self) -> None:
+        """Drop history entries beyond the newest cfg.lease_history_keep
+        batches (by batch id — resume-safe: ids are the stream's global
+        micro-batch counter, monotone across restarts)."""
+        import glob as _glob
+
+        hist_files = _glob.glob(os.path.join(self.lease_dir, "batch_*.json"))
+        keep = self.cfg.lease_history_keep
+        if len(hist_files) <= keep:
+            return
+
+        def _bid(p: str) -> int:
+            try:
+                return int(os.path.basename(p)[len("batch_"):-len(".json")])
+            except ValueError:
+                return -1  # malformed name: oldest-out first
+
+        for p in sorted(hist_files, key=_bid)[:-keep]:
+            try:
+                os.remove(p)
+            except OSError:
+                pass  # concurrent prune/inspection; the ring stays bounded
 
     def current_lease(self) -> dict | None:
         """Decode-or-None: a corrupt or schema-drifted lease file reads as None

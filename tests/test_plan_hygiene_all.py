@@ -67,7 +67,10 @@ def test_no_cartesian_products(plans):
     #  - embed_ivf_ann: vectors × K centroid literals (broadcast = K rows —
     #    the canonical IVF assignment shape)
     #  - tfidf_top_terms: terms × ONE corpus-count row
-    BNL_OK = {"embed_knn_methods", "embed_ivf_ann", "tfidf_top_terms"}
+    #  - embed_near_dup: r4 semdedup fold — vectors × 8 broadcast centroids
+    #    (the same bounded IVF-assignment shape as embed_ivf_ann)
+    BNL_OK = {"embed_knn_methods", "embed_ivf_ann", "tfidf_top_terms",
+              "embed_near_dup"}
     bad = [n for n, p in plans.items() if "CartesianProduct" in p]
     assert bad == [], f"cartesian product in: {bad}"
     bnl = [n for n, p in plans.items()

@@ -1,0 +1,32 @@
+"""get_spark conf-profile resolution (session.py PROFILES).
+
+No JVM needed: the unknown-profile error fires before getOrCreate, and the
+known-profile assertions only inspect the PROFILES table. The knobs' values
+are pinned here so a drive-by edit can't silently change what
+profile="cluster" deploys (each is tied to A/B evidence — see session.py).
+"""
+
+import pytest
+
+from change_data_capturer_ms_spark.session import PROFILES, get_spark
+
+
+def test_unknown_profile_raises():
+    with pytest.raises(ValueError, match="unknown profile 'nope'"):
+        get_spark(profile="nope")
+
+
+def test_cluster_profile_pins_zstd_lake_and_shuffle():
+    assert PROFILES["cluster"] == {
+        "spark.sql.parquet.compression.codec": "zstd",
+        "spark.io.compression.codec": "zstd",
+    }
+
+
+def test_extra_conf_overrides_profile():
+    # precedence contract: defaults < profile < extra_conf. Verified
+    # structurally (the same dict.update order get_spark applies).
+    conf = {"spark.sql.parquet.compression.codec": "snappy"}
+    merged = {**PROFILES["cluster"], **conf}
+    assert merged["spark.sql.parquet.compression.codec"] == "snappy"
+    assert merged["spark.io.compression.codec"] == "zstd"

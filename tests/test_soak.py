@@ -165,3 +165,114 @@ def test_soak_200_microbatches_bounded_and_resumable(spark, tmpdir_path):
     assert len(queue.committed_batches()) == batches_b
     # consumer-side bookkeeping is bounded too: lease doc + audit RING only
     assert len(os.listdir(consumer.lease_dir)) <= consumer.history_keep + 1
+
+
+# ---------------------------------------------------------------------------
+# WAP-branch soak (VERDICT r3 item 6): the branch-per-batch write-audit-publish
+# path under ~100 micro-batches with a mid-loop kill/resume, an audit rejection
+# AFTER the resume, and a bounded-metadata sweep — branch refs must not leak
+# (one cut+drop per batch), the lease-history audit ring must stay a RING
+# (cfg.lease_history_keep), and the drift monitor must score from that ring.
+# ---------------------------------------------------------------------------
+
+WAP_WAVES = 12
+WAP_FILES_PER_WAVE = 8
+BAD_WAVE = 8  # every file of this wave fails the audit (post-resume)
+
+
+def _wap_audit(staged, result):
+    """Metadata-only audit: reject any batch whose per-partition lineage sits
+    entirely inside the known-bad seq window (an 'upstream incident' wave).
+    Reads the BRANCH lease only — zero Spark jobs, the WAP design point."""
+    lin = (staged.lease() or {}).get("lineage") or []
+    lo, hi = BAD_WAVE * PER_WAVE, (BAD_WAVE + 1) * PER_WAVE
+    for part in lin:
+        if lo <= part["first_seq"] and part["last_seq"] < hi:
+            return f"incident-wave [{lo},{hi}) partition {part['partition']}"
+    return True
+
+
+def _mk_wap_pipe(spark, base):
+    table = LakeTable(spark, f"{base}/table", key_cols=["repo", "path"],
+                      n_buckets=8)
+    return CDCPipeline(
+        spark, f"{base}/log", table, f"{base}/ckpt",
+        cfg=EngineConfig(n_buckets=8, lease_history_keep=40),
+        use_pandas_udfs=False,
+        quarantine_dir=f"{base}/dlq",
+        audit_fn=_wap_audit, wap_branch="audit",
+        monitor_cols=["op"],
+    )
+
+
+def _write_wap_waves(spark, log, lo, hi):
+    for w in range(lo, hi):
+        wave = gen_changelog(spark, PER_WAVE, seed=100 + w, n_repos=6,
+                             paths_per_repo=4, start_seq=w * PER_WAVE
+                             ).repartition(WAP_FILES_PER_WAVE)
+        write_changelog(wave, log, files_per_bucket=WAP_FILES_PER_WAVE)
+
+
+@pytest.mark.slow
+def test_soak_wap_branch_bounded_and_resumable(spark, tmpdir_path):
+    base = tmpdir_path
+    log = f"{base}/log"
+
+    # ---- phase A: first 6 waves through the WAP path ------------------------
+    pipe = _mk_wap_pipe(spark, base)
+    _write_wap_waves(spark, log, 0, 6)
+    pipe.run_stream(max_files_per_trigger=1)
+    lease_a = pipe.current_lease()
+    batches_a = int(lease_a["batch_id"]) + 1
+    # repartition(N, seq_bucket, pid) hash-merges some pids: ~5-6 files/wave
+    assert batches_a >= 24
+    assert pipe.table.branches() == {}, "WAP branch ref leaked"
+
+    # ---- mid-loop kill: fresh pipeline resumes; bad wave arrives after -----
+    pipe2 = _mk_wap_pipe(spark, base)
+    _write_wap_waves(spark, log, 6, WAP_WAVES)
+    pipe2.run_stream(max_files_per_trigger=1)
+    batches_b = int(pipe2.current_lease()["batch_id"]) + 1
+    assert batches_b > batches_a  # resumed, not restarted
+    assert pipe2.table.branches() == {}, "WAP branch ref leaked"
+
+    # audit rejected exactly the bad wave: its rows are in the DLQ, none of
+    # its seqs are in the table, and the stream kept going past it
+    dlq = spark.read.parquet(f"{base}/dlq")
+    bad_lo, bad_hi = BAD_WAVE * PER_WAVE, (BAD_WAVE + 1) * PER_WAVE
+    dlq_seqs = {r[0] for r in dlq.select("seq").distinct().collect()}
+    assert dlq_seqs == set(range(bad_lo, bad_hi))
+    reasons = {r[0] for r in dlq.select(F.explode("_reasons")).distinct().collect()}
+    assert any(x.startswith("audit:incident-wave") for x in reasons)
+    assert batches_b >= 55  # ~60 files total: rejects don't stop the stream
+
+    # ---- bounded metadata: audit ring + manifest/ledger ---------------------
+    ring = glob.glob(os.path.join(pipe2.table.path, "_lease", "batch_*.json"))
+    assert len(ring) <= 40, f"lease-history ring overflow: {len(ring)}"
+    pipe2.table.expire_snapshots(keep_last=2, orphan_grace_sec=0.0)
+    end = _bookkeeping(pipe2.table)
+    assert end["ledger_len"] <= 40, end
+    assert end["manifest_bytes"] < 262_144, end
+    assert end["lease_bytes"] < 32_768, end
+
+    # drift monitor scores from the ring alone (counts folded at commit time)
+    drift = pipe2.monitor_drift("op")
+    assert len(drift) >= 10
+    assert all(d["psi"] >= 0.0 and d["psi"] == d["psi"] for d in drift)
+
+    # ---- exactly-once: no new files => lease token unchanged ----------------
+    lease_before = pipe2.current_lease()["lease"]
+    pipe2.run_stream(max_files_per_trigger=1)
+    assert pipe2.current_lease()["lease"] == lease_before
+
+    # ---- correctness: final state == LWW over the NON-rejected events -------
+    raw = spark.read.parquet(log)
+    kept = raw.filter(~((F.col("seq") >= bad_lo) & (F.col("seq") < bad_hi)))
+    lww = (kept.filter(F.col("op").isin("insert", "update", "replace", "delete"))
+               .groupBy("repo", "path")
+               .agg(F.max_by(F.struct("op", "content"), F.struct("seq")).alias("x"))
+               .filter(F.col("x.op") != "delete")
+               .select("repo", "path", F.col("x.content").alias("content")))
+    got = pipe2.table.read().select("repo", "path", "content")
+    assert got.exceptAll(lww).count() == 0
+    assert lww.exceptAll(got).count() == 0
