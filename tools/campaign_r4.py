@@ -127,8 +127,9 @@ def main():
             r = _probe_json(["--pruning-probe", "32", "16000000",
                              "/tmp/cdc_pruning"])
             _record(bench.PRUNING_HISTORY, r)
-            return {"wall_sec": r["lookup_many_sec"],
-                    "events_per_sec": 0, "final_rows": r["match_rows"]}
+            return {"wall_sec": r["batched"]["1000"]["lookup_many_sec"],
+                    "events_per_sec": 0,
+                    "final_rows": r["batched"]["1000"]["rows"]}
         step("pruning", run)
         consolidate()
     elif piece == "skew":
