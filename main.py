@@ -57,6 +57,10 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                         "the driver; pass 127.0.0.1 to keep it local)")
     p.add_argument("--master", default=None,
                    help="local testing only, e.g. local[8]")
+    p.add_argument("--profile", default=None,
+                   help="named Spark conf profile (session.py PROFILES), "
+                        "e.g. 'cluster' = zstd lake + shuffle IO for "
+                        "object-storage deployments (README knob table)")
     return p.parse_args(argv)
 
 
@@ -74,7 +78,8 @@ def main(argv: list[str] | None = None) -> int:
     from change_data_capturer_ms_spark.session import get_spark
 
     spark = get_spark(app_name="cdc-apply", master=args.master,
-                      shuffle_partitions=cfg.shuffle_partitions)
+                      shuffle_partitions=cfg.shuffle_partitions,
+                      profile=args.profile)
 
     # 3) resolve sink + pipeline through the registries (factory.ts parity)
     from change_data_capturer_ms_spark.sources import create_sink

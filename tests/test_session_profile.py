@@ -30,3 +30,12 @@ def test_extra_conf_overrides_profile():
     merged = {**PROFILES["cluster"], **conf}
     assert merged["spark.sql.parquet.compression.codec"] == "snappy"
     assert merged["spark.io.compression.codec"] == "zstd"
+
+
+def test_cli_profile_flag_parses():
+    import main as cli
+    a = cli.parse_args(["--log", "/l", "--table", "/t", "--checkpoint", "/c",
+                        "--profile", "cluster"])
+    assert a.profile == "cluster"
+    assert cli.parse_args(["--log", "/l", "--table", "/t",
+                           "--checkpoint", "/c"]).profile is None
