@@ -478,7 +478,9 @@ def _writemode_section() -> str:
                 continue
             if not _stamp_ok(h) or h.get("probe_ver") != 2:
                 continue
-            md = h["write_mode"]
+            # fold keyed by (mode, probe shape): a future probe at a different
+            # (n_events, n_inc, inc_events) must not merge into these minima
+            md = (h["write_mode"], h["n_events"], h["n_inc"], h["inc_events"])
             r = per.setdefault(md, {"walls": [], "reads": [], "compacts": [],
                                     "bytes": [], "final_rows": h["final_rows"],
                                     "n_events": h["n_events"],
@@ -493,10 +495,18 @@ def _writemode_section() -> str:
                                      + h.get("post_compact_read_sec", 0.0))
     except FileNotFoundError:
         return ""
-    if "cow" not in per or "mor" not in per:
+    # render the most-sampled shape that has BOTH modes
+    shapes = sorted(
+        {k[1:] for k in per if k[0] == "cow"} & {k[1:] for k in per if k[0] == "mor"},
+        key=lambda s: (len(per[("cow",) + s]["walls"])
+                       + len(per[("mor",) + s]["walls"]), s),
+        reverse=True,
+    )
+    if not shapes:
         return ""
-    c = per["cow"]
-    same = c["final_rows"] == per["mor"]["final_rows"]
+    shape = shapes[0]
+    c, mor = per[("cow",) + shape], per[("mor",) + shape]
+    same = c["final_rows"] == mor["final_rows"]
     gb = 1024 ** 3
 
     def row(md, r):
@@ -505,9 +515,9 @@ def _writemode_section() -> str:
                 f"| {min(r['bytes']) / gb:.2f} | {min(r['reads']):.2f} "
                 f"| {extra} | {r['final_rows']:,} |\n")
 
-    rows = row("cow", c) + row("mor", per["mor"])
-    b_cow, b_mor = min(c["bytes"]), min(per["mor"]["bytes"])
-    w_cow, w_mor = min(c["walls"]), min(per["mor"]["walls"])
+    rows = row("cow", c) + row("mor", mor)
+    b_cow, b_mor = min(c["bytes"]), min(mor["bytes"])
+    w_cow, w_mor = min(c["walls"]), min(mor["walls"])
     return (
         f"\n**Write mode: copy-on-write vs merge-on-read** — base table "
         f"built from the {c['n_events']:,}-event scaling log "
@@ -595,9 +605,11 @@ def pruning_probe(cores: int, n_events: int, workdir: str,
     from change_data_capturer_ms_spark.functions.xxh64 import xxhash64_cols
     types = {f.name: f.dataType.simpleString() for f in m.schema.fields}
     cand_counts = []
+    # bucket hashes MUST come from m.bucket_key (resolves [] -> key_cols),
+    # never m.key_cols: a bucket_cols table would hash the wrong columns
     for kv in keys[:50]:
-        h = xxhash64_cols([kv[k] for k in m.key_cols],
-                          [types[k] for k in m.key_cols])
+        h = xxhash64_cols([kv[k] for k in m.bucket_key],
+                          [types[k] for k in m.bucket_key])
         cand_counts.append(len(tbl.candidate_files(
             [(k, "=", kv[k]) for k in m.key_cols],
             buckets={h % m.n_buckets})))
@@ -619,8 +631,8 @@ def pruning_probe(cores: int, n_events: int, workdir: str,
         sub = keys[:n_k]
         bks = set()
         for kv in sub:
-            h = xxhash64_cols([kv[k] for k in m.key_cols],
-                              [types[k] for k in m.key_cols])
+            h = xxhash64_cols([kv[k] for k in m.bucket_key],
+                              [types[k] for k in m.bucket_key])
             bks.add(h % m.n_buckets)
         lm_files = len({f.path for f in m.files if f.bucket in bks})
         t_lm = t_naive = float("inf")

@@ -84,13 +84,19 @@ def decontaminate(
     id_col: str = "doc_id",
     eval_text_col: str = "text",
     eval_id_col: str = "doc_id",
+    broadcast_flagged: bool = True,
 ) -> DataFrame:
     """The corpus minus contaminated documents: drop every doc whose
     contamination_frac exceeds `max_frac` (0.0 = any verbatim n-gram overlap
     disqualifies, the GPT-3 rule).
 
-    The flagged set is a small fraction of the corpus, so the subtraction is
-    a broadcast LEFT ANTI join — the corpus is scanned, never shuffled.
+    The flagged set is bounded by the contamination RATE (typically a small
+    fraction of the corpus), so `broadcast_flagged=True` (default) pins the
+    subtraction as a broadcast LEFT ANTI join — the corpus is scanned, never
+    shuffled. It is still data-proportional, not bounded: on a corpus known
+    to be heavily contaminated pass False — the join falls back to shuffle
+    and AQE converts it back to broadcast at runtime if the measured size
+    allows (same contract as `operators.graph.dedup_keep_canonical`).
     """
     flagged = (
         contamination_check(
@@ -99,6 +105,6 @@ def decontaminate(
         .filter(F.col("contamination_frac") > max_frac)
         .select("id")
     )
-    return docs.join(
-        F.broadcast(flagged), docs[id_col] == flagged.id, "left_anti"
-    )
+    if broadcast_flagged:
+        flagged = F.broadcast(flagged)
+    return docs.join(flagged, docs[id_col] == flagged.id, "left_anti")

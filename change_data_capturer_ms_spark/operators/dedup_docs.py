@@ -64,8 +64,16 @@ def ngram_jaccard_pairs(
     """All pairs with word-n-gram Jaccard ≥ threshold (id_a < id_b).
 
     Plan shape: shingle explode → equi-join on shingle (co-partitioned by shingle
-    hash) → pair aggregation → broadcast join of per-doc shingle counts. The
+    hash) → pair aggregation → plain equi-joins of per-doc shingle counts. The
     shingle join only meets docs sharing ≥1 shingle — far from all-pairs.
+
+    The sizes joins are deliberately NOT broadcast-hinted: `sizes` is one row
+    PER CORPUS DOCUMENT, so a forced broadcast is tens of GB at 10⁸–10⁹ docs
+    (driver/executor OOM). The pair frame shuffles on id instead — it is
+    threshold-bounded and far smaller than the corpus — and AQE still converts
+    the join back to broadcast at runtime when the measured size allows. The
+    only broadcast hint in this plan is the hot-shingle anti-join list, which
+    is bounded by construction (shingles with df > df_cap).
 
     `df_cap` bounds the quadratic danger: a shingle shared by M docs fans out
     M² pairs, so one stop-shingle at corpus scale is a job-killer. Shingles
@@ -101,8 +109,8 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     out = (
-        shared.join(F.broadcast(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a")), "id_a")
-        .join(F.broadcast(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b")), "id_b")
+        shared.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
         .withColumn(
             "jaccard",
             F.round(F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6),
@@ -257,6 +265,7 @@ def dedup_dataset(
     threshold: float = 0.8,
     bands: int = 4,
     max_hamming: int = 3,
+    broadcast_losers: bool = True,
 ) -> DataFrame:
     """The end-user dedup operation: the corpus minus non-canonical near-dups.
 
@@ -265,9 +274,16 @@ def dedup_dataset(
                       connected components → keep the min-id doc per cluster.
     method='simhash': banded hamming-≤max_hamming pairs → same clustering.
 
-    Plan shape: pair mining is bucketed (never all-pairs); the loser set is a
-    small fraction of the corpus, so the final subtraction is a broadcast
-    LEFT ANTI join — the full corpus is scanned once and never shuffled.
+    Plan shape: pair mining is bucketed (never all-pairs); the loser set is
+    usually a small fraction of the corpus, so `broadcast_losers=True`
+    (default) pins the subtraction as a broadcast LEFT ANTI join — the full
+    corpus is scanned once and never shuffled. The loser count is
+    DUP-RATE-proportional, not bounded: at extreme dup rates (a raw crawl
+    that is half mirror copies) pass False — the join falls back to shuffle
+    and AQE still converts it back to broadcast at runtime if the measured
+    size allows. A forced broadcast of an unbounded side is the failure mode
+    to avoid, not the shuffle (same contract as
+    `operators.graph.dedup_keep_canonical`).
     """
     if method == "exact":
         from pyspark.sql import Window
@@ -290,7 +306,9 @@ def dedup_dataset(
             raise ValueError(f"unknown dedup method: {method}")
         clusters = duplicate_clusters(pairs)
         losers = clusters.filter(F.col("id") != F.col("cluster_id")).select("id")
-    return df.join(F.broadcast(losers), df[id_col] == losers.id, "left_anti")
+    if broadcast_losers:
+        losers = F.broadcast(losers)
+    return df.join(losers, df[id_col] == losers.id, "left_anti")
 
 
 def simhash(

@@ -466,10 +466,13 @@ def dequantize_embeddings(df: DataFrame, q_col: str = "q",
 def semdedup(
     df: DataFrame,
     tau: float = 0.95,
-    n_cells: int = 8,
+    n_cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_iter: int = 15,
+    cell_cap: int = 4096,
+    sub_bits: int = 8,
+    broadcast_losers: bool = True,
 ) -> DataFrame:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
     drop all but one document from every group of SEMANTIC duplicates —
@@ -483,11 +486,30 @@ def semdedup(
     Cross-cell near-dups are missed by construction — the published
     recall/cost trade.
 
-    Plan shape: centroid table is n_cells rows (broadcast); assignment is one
-    broadcast nested-loop; the pair join is a per-cell self-equi-join (the
-    `embedding_near_dup_pairs` shape with data-dependent buckets); components
-    via min-label propagation; the final subtraction is a broadcast LEFT ANTI
-    — the corpus is scanned once and never shuffled.
+    Scale bounds (the paper's trick only works when cells are numerous AND
+    small; both knobs here keep that true at any corpus size):
+    - `n_cells=None` (default) auto-scales with the corpus:
+      clamp(ceil(rows/1024), 8, 4096) — cells average ≤ ~1k members until the
+      4096-centroid ceiling, which keeps the assignment crossJoin O(rows ×
+      n_cells) with a bounded broadcast (≤ 4096 centroid rows). Costs one
+      count() job; pass an int to skip it.
+    - `cell_cap` bounds the residual quadratic term when auto-scaling hits
+      the centroid ceiling or the assignment is skewed: any cell with more
+      than `cell_cap` members is sub-split by a `sub_bits`-bit sign-bit LSH
+      bucket and pairs only meet within a sub-bucket, so the largest
+      self-join group is ~max(cell_cap, cell_n / 2^sub_bits) — never
+      corpus²/n_cells. Like `df_cap` in `ngram_jaccard_pairs`, the cap only
+      drops CROSS-sub-bucket pairs in pathological cells (a recall trade,
+      not a correctness one); cell_cap=None disables it.
+
+    Plan shape: centroid table is n_cells rows (broadcast, bounded); the
+    cell-size table is n_cells rows (broadcast, bounded); assignment is one
+    broadcast nested-loop; the pair join is a per-(cell, sub-bucket)
+    self-equi-join (the `embedding_near_dup_pairs` shape with data-dependent
+    buckets); components via min-label propagation; the final subtraction is
+    a LEFT ANTI join — broadcast when `broadcast_losers=True` (default; the
+    loser set is dup-rate-proportional — at extreme dup rates pass False and
+    let AQE pick from measured size, the `dedup_keep_canonical` contract).
     """
     from pyspark.sql import Window
 
@@ -497,6 +519,8 @@ def semdedup(
     )
 
     c = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    if n_cells is None:
+        n_cells = min(4096, max(8, -(-c.count() // 1024)))
     hashed = c.withColumn("h", md5_long56(F.col("id").cast("string")))
     wc = Window.orderBy("h", "id")
     cent = (
@@ -516,9 +540,28 @@ def semdedup(
         .filter(F.col("rn") == 1)
         .select("id", "v", "cell")
     )
+    if cell_cap is not None:
+        # sub-split oversize cells by a sign-bit LSH bucket so the self-join
+        # KEY (cell, sub) bounds the largest join group; cells within the cap
+        # use sub=-1 on both sides (all within-cell pairs still meet). The
+        # cell-size table is n_cells rows — a bounded broadcast.
+        cell_sizes = assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("cell_n"))
+        assigned = (
+            assigned.join(F.broadcast(cell_sizes), "cell")
+            .withColumn(
+                "sub",
+                F.when(F.col("cell_n") > cell_cap,
+                       signbit_bucket(F.col("v"), sub_bits))
+                .otherwise(F.lit(-1)),
+            )
+        )
+    else:
+        assigned = assigned.withColumn("sub", F.lit(-1))
     a, b = assigned.alias("a"), assigned.alias("b")
     pairs = (
         a.join(b, (F.col("a.cell") == F.col("b.cell"))
+               & (F.col("a.sub") == F.col("b.sub"))
                & (F.col("a.id") < F.col("b.id")))
         .withColumn("cosine", F.round(cosine_sim(F.col("a.v"), F.col("b.v")), 6))
         .filter(F.col("cosine") >= tau)
@@ -526,7 +569,9 @@ def semdedup(
     )
     clusters = duplicate_clusters(pairs, max_iter=max_iter)
     losers = clusters.filter(F.col("id") != F.col("cluster_id")).select("id")
-    return df.join(F.broadcast(losers), df[id_col] == losers.id, "left_anti")
+    if broadcast_losers:
+        losers = F.broadcast(losers)
+    return df.join(losers, df[id_col] == losers.id, "left_anti")
 
 
 def embedding_near_dup_pairs(

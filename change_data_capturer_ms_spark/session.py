@@ -37,17 +37,14 @@ PROFILES: dict[str, dict[str, str]] = {
 }
 
 
-def get_spark(
-    app_name: str = "change-data-capturer-ms-spark",
-    master: str | None = None,
+def build_conf(
     shuffle_partitions: int = 32,
     aqe_initial_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
     profile: str | None = None,
-) -> SparkSession:
-    builder = SparkSession.builder.appName(app_name)
-    if master:
-        builder = builder.master(master)
+) -> dict[str, str]:
+    """The exact conf get_spark applies, as a pure function (testable without
+    a JVM). Precedence: engine defaults < profile < extra_conf."""
     # AQE sizes reducers from ACTUAL map output: start shuffles fine-grained
     # (initialPartitionNum) and let coalescing fold small stages back to
     # ~advisory size. With only the flat shuffle_partitions count, a growing
@@ -107,6 +104,21 @@ def get_spark(
         conf.update(PROFILES[profile])
     if extra_conf:
         conf.update(extra_conf)
-    for k, v in conf.items():
+    return conf
+
+
+def get_spark(
+    app_name: str = "change-data-capturer-ms-spark",
+    master: str | None = None,
+    shuffle_partitions: int = 32,
+    aqe_initial_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+    profile: str | None = None,
+) -> SparkSession:
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    for k, v in build_conf(shuffle_partitions, aqe_initial_partitions,
+                           extra_conf, profile).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -48,6 +48,18 @@ from change_data_capturer_ms_spark.sources.changelog import ChangeLogReader
 APPLY_SEMVER = "r3c"
 
 
+def _hist_batch_id(p: str) -> int:
+    """Commit order of a lease-history ring file (batch_<id>.json) from its
+    PARSED batch id — the single ordering key shared by the ring pruner and
+    monitor_drift, so retention and PSI pairing can never disagree.
+    Malformed names sort first (pruned first, skipped as non-monitor
+    payloads by readers)."""
+    try:
+        return int(os.path.basename(p)[len("batch_"):-len(".json")])
+    except ValueError:
+        return -1
+
+
 def prepare_batch(
     df: DataFrame,
     cfg: EngineConfig | None = None,
@@ -186,14 +198,7 @@ class CDCPipeline:
         keep = self.cfg.lease_history_keep
         if len(hist_files) <= keep:
             return
-
-        def _bid(p: str) -> int:
-            try:
-                return int(os.path.basename(p)[len("batch_"):-len(".json")])
-            except ValueError:
-                return -1  # malformed name: oldest-out first
-
-        for p in sorted(hist_files, key=_bid)[:-keep]:
+        for p in sorted(hist_files, key=_hist_batch_id)[:-keep]:
             try:
                 os.remove(p)
             except OSError:
@@ -224,9 +229,13 @@ class CDCPipeline:
 
         from change_data_capturer_ms_spark.operators.drift import psi_from_counts
 
+        # order by PARSED batch id — the same key the ring pruner uses —
+        # never file mtime: after a prune + restore/copy (or coarse mtime
+        # granularity) mtime order can diverge from commit order and pair
+        # non-consecutive batches in the PSI
         files = sorted(
             _glob.glob(os.path.join(self.lease_dir, "batch_*.json")),
-            key=os.path.getmtime,
+            key=_hist_batch_id,
         )
         out: list[dict] = []
         prev = None

@@ -140,6 +140,26 @@ def test_ngram_df_cap_is_broadcast_anti_join(spark, sf_dir):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
+def test_ngram_sizes_join_not_forced_broadcast(spark, sf_dir):
+    """The per-doc `sizes` frame is one row PER CORPUS DOCUMENT — a forced
+    broadcast of it is a driver OOM at 1e9 docs (round-4 verdict #1). The
+    ONLY broadcast hint in the jaccard plan must be the df_cap hot-shingle
+    anti-join list; the sizes joins carry no hint (AQE picks broadcast at
+    runtime from measured size when appropriate)."""
+    from change_data_capturer_ms_spark.operators import ngram_jaccard_pairs
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    analyzed = ngram_jaccard_pairs(d, threshold=0.5, df_cap=100) \
+        ._jdf.queryExecution().analyzed().toString()
+    # the hot-shingle anti-join only — it appears twice because the capped
+    # shingle frame feeds BOTH sides of the self-join; the two sizes joins
+    # contribute zero hints
+    assert analyzed.count("ResolvedHint") == 2
+    analyzed_nocap = ngram_jaccard_pairs(d, threshold=0.5, df_cap=None) \
+        ._jdf.queryExecution().analyzed().toString()
+    assert analyzed_nocap.count("ResolvedHint") == 0
+
+
 def test_planning_groupingsets_is_bounded_and_udf_free(spark, tmpdir_path):
     """The per-batch planning aggregation (GROUPING SETS ((p),(bucket))) must
     expand+aggregate without any Python/Arrow stage and with partial

@@ -123,6 +123,43 @@ def test_semdedup_keeps_min_id_per_semantic_group(spark):
     assert kept == [0, 10, 20]
 
 
+def test_semdedup_cell_cap_bounds_pair_join(spark):
+    """With cell_cap exceeded, the pair join key becomes (cell, sub-bucket):
+    near-dups in different sign-bit sub-buckets of an oversize cell no longer
+    meet (the documented recall trade that bounds the per-cell quadratic)."""
+    # 20 near-identical vectors in ONE cell; element[0]'s sign splits them
+    # 10/10 across sub_bits=1 sub-buckets. Cross-group cosine ~0.99993 >= tau.
+    rows = [(i, [0.01 if i < 10 else -0.01, 1.0, 1.0, 1.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # uncapped: all 20 are one semantic component -> single min-id survivor
+    kept_uncapped = sorted(r["vec_id"] for r in
+                           semdedup(df, tau=0.999, n_cells=1,
+                                    cell_cap=None).collect())
+    assert kept_uncapped == [0]
+    # capped (20 > 5): pairs only meet within a sign-bit sub-bucket -> the
+    # two sub-buckets each keep their min id
+    kept_capped = sorted(r["vec_id"] for r in
+                         semdedup(df, tau=0.999, n_cells=1, cell_cap=5,
+                                  sub_bits=1).collect())
+    assert kept_capped == [0, 10]
+    # cells within the cap are untouched by the sub-split (sub = -1 both sides)
+    kept_under = sorted(r["vec_id"] for r in
+                        semdedup(df, tau=0.999, n_cells=1, cell_cap=50,
+                                 sub_bits=1).collect())
+    assert kept_under == [0]
+
+
+def test_semdedup_auto_n_cells(spark):
+    """n_cells=None auto-scales: clamp(ceil(rows/1024), 8, 4096) — 20 rows
+    -> 8 cells; identical result to passing 8 explicitly."""
+    rows = [(i, [0.01 if i < 10 else -0.01, 1.0, 1.0, 1.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    auto = sorted(r["vec_id"] for r in semdedup(df, tau=0.999).collect())
+    explicit = sorted(r["vec_id"] for r in
+                      semdedup(df, tau=0.999, n_cells=8).collect())
+    assert auto == explicit
+
+
 def test_semdedup_no_pairs_is_identity(spark):
     rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")

@@ -8,7 +8,7 @@ profile="cluster" deploys (each is tied to A/B evidence — see session.py).
 
 import pytest
 
-from change_data_capturer_ms_spark.session import PROFILES, get_spark
+from change_data_capturer_ms_spark.session import PROFILES, build_conf, get_spark
 
 
 def test_unknown_profile_raises():
@@ -24,12 +24,20 @@ def test_cluster_profile_pins_zstd_lake_and_shuffle():
 
 
 def test_extra_conf_overrides_profile():
-    # precedence contract: defaults < profile < extra_conf. Verified
-    # structurally (the same dict.update order get_spark applies).
-    conf = {"spark.sql.parquet.compression.codec": "snappy"}
-    merged = {**PROFILES["cluster"], **conf}
+    # precedence contract: defaults < profile < extra_conf, asserted on the
+    # conf get_spark ACTUALLY builds (build_conf is the helper it applies)
+    merged = build_conf(
+        profile="cluster",
+        extra_conf={"spark.sql.parquet.compression.codec": "snappy"},
+    )
     assert merged["spark.sql.parquet.compression.codec"] == "snappy"
     assert merged["spark.io.compression.codec"] == "zstd"
+    # and the profile really overrides an engine default it shadows
+    assert build_conf(profile="cluster")[
+        "spark.sql.parquet.compression.codec"] == "zstd"
+    # engine defaults survive the merge
+    assert merged["spark.sql.adaptive.enabled"] == "true"
+    assert merged["spark.sql.execution.arrow.maxRecordsPerBatch"] == "65536"
 
 
 def test_cli_profile_flag_parses():
