@@ -872,7 +872,15 @@ def q_text_quality_langid(spark, sf_dir):
     fold of text_quality + text_langid + doc_fingerprint + repetition —
     all per-doc grain, so the joins are key-co-partitioned. Final fold:
     gopher_filter appends the published-threshold keep/drop decision +
-    comma-joined failure reasons (pure projection over the profile)."""
+    comma-joined failure reasons (pure projection over the profile).
+
+    r5 fold: redact_pii (operators/text.py — chained regexp_replace /
+    regexp_count, pure codegen projection) over a deterministically
+    PII-seeded copy of each doc (the corpus text itself is word soup with
+    no digits, so the fold synthesizes emails/phones/IPs/SSNs from doc_id —
+    both engines build the identical string). Exports the per-kind counts
+    (measured on the pre-redaction text) plus sha256 of the fully-redacted
+    text, which pins the exact chained-replacement semantics cross-engine."""
     docs = _t(spark, sf_dir, "documents")
     fp = doc_fingerprint(docs, n=4).withColumnRenamed("id", "doc_id")
     rep = repetition_profile(docs).withColumnRenamed("id", "doc_id")
@@ -881,11 +889,34 @@ def q_text_quality_langid(spark, sf_dir):
         .join(fp, "doc_id", "left")
         .join(rep, "doc_id", "left")
     )
+    from change_data_capturer_ms_spark.operators import gopher_filter, redact_pii
+    d = F.col("doc_id")
+    pad4 = F.lpad((d % 10000).cast("string"), 4, "0")
+    pii_text = F.concat(
+        F.col("text"),
+        F.when(d % 3 == 0, F.concat(F.lit(" reach me at user"), d.cast("string"),
+                                    F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.concat(F.lit(" or call +1 (555) 010-"), pad4))
+        .otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.concat(F.lit(" logged from 10.0."),
+                                    (d % 256).cast("string"), F.lit("."),
+                                    ((d * 7) % 256).cast("string")))
+        .otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.concat(F.lit(" ssn 123-45-"), pad4))
+        .otherwise(F.lit("")),
+    )
+    red = redact_pii(docs.select("doc_id", pii_text.alias("text"))).select(
+        "doc_id",
+        F.sha2(F.col("text_redacted"), 256).alias("redacted_sha256"),
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_ssn").cast("long").alias("n_ssn"),
+    )
     # gopher_filter fold (operators/text.py): published-threshold keep/drop
     # decision over the profile columns; drop_reasons exported comma-joined
     # (driver value-hash convention — scalar columns both sides)
-    from change_data_capturer_ms_spark.operators import gopher_filter
-    out = gopher_filter(prof)
+    out = gopher_filter(prof).join(red, "doc_id", "left")
     return out.withColumn("drop_reasons", F.concat_ws(",", "drop_reasons"))
 
 
@@ -1205,6 +1236,39 @@ def oracle_sql() -> dict[str, str]:
     )
 
     en = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+
+    # redact_pii mirror (r5 fold into text_quality_langid): identical
+    # PII-seeded text both engines, counts via regexp_extract_all on the
+    # pre-redaction text, chained global regexp_replace in declaration
+    # order, sha256 of the final redacted text. PII_PATTERNS is the single
+    # source of truth for the regexes (RE2 and Java agree on this subset:
+    # ASCII classes, \b, greedy quantifiers — verified bit-exact at sf0.01).
+    from change_data_capturer_ms_spark.operators.text import PII_PATTERNS
+
+    pii_redacted = "pt"
+    for kind, pat in PII_PATTERNS.items():
+        pii_redacted = (
+            f"regexp_replace({pii_redacted}, '{pat}', '[PII:{kind}]', 'g')")
+    pii_counts = ", ".join(
+        f"len(regexp_extract_all(pt, '{pat}'))::BIGINT AS n_{kind}"
+        for kind, pat in PII_PATTERNS.items())
+    pii_join = (
+        "LEFT JOIN ("
+        "  WITH src AS (SELECT doc_id, text"
+        "    || CASE WHEN doc_id % 3 = 0 THEN ' reach me at user'"
+        "       || doc_id::VARCHAR || '@example.com' ELSE '' END"
+        "    || CASE WHEN doc_id % 4 = 0 THEN ' or call +1 (555) 010-'"
+        "       || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END"
+        "    || CASE WHEN doc_id % 5 = 0 THEN ' logged from 10.0.'"
+        "       || (doc_id % 256)::VARCHAR || '.'"
+        "       || ((doc_id * 7) % 256)::VARCHAR ELSE '' END"
+        "    || CASE WHEN doc_id % 7 = 0 THEN ' ssn 123-45-'"
+        "       || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END"
+        "    AS pt FROM documents) "
+        f"  SELECT doc_id AS id, sha256({pii_redacted}) AS redacted_sha256, "
+        f"  {pii_counts} FROM src"
+        ") pii ON documents.doc_id = pii.id"
+    )
 
     pq_ctes, pq_select = _pq_knn_sql(m=4, dim=64, n_codes=16, rerank=20, k=5)
 
@@ -1680,7 +1744,8 @@ def oracle_sql() -> dict[str, str]:
             + ", ".join(stop_scores) + ", "
             f"({fold_lang}) AS lang_guess, fp.fp_min, fp.fp_max, fp.n_shingles, "
             "rep.n_lines, rep.dup_line_frac, rep.dup_line_char_frac, "
-            "rep.top_g2_frac, rep.dup_g5_frac "
+            "rep.top_g2_frac, rep.dup_g5_frac, "
+            "pii.redacted_sha256, pii.n_email, pii.n_phone, pii.n_ipv4, pii.n_ssn "
             "FROM documents LEFT JOIN ("
             "  WITH " + _SHINGLES_CTE.format(n=4, nm1=3) + " "
             f"  SELECT doc_id AS id, MIN({_H('shingle')})::BIGINT AS fp_min, "
@@ -1723,7 +1788,8 @@ def oracle_sql() -> dict[str, str]:
             "      / NULLIF(COALESCE(SUM(cnt) FILTER (kind = 'gd'), 0), 0), 6)"
             "      AS dup_g5_frac"
             "  FROM per GROUP BY doc_id"
-            ") rep ON documents.doc_id = rep.id"
+            ") rep ON documents.doc_id = rep.id "
+            + pii_join +
             ") q ) q2"
         ),
         "scd2_history": (

@@ -50,6 +50,14 @@ HEADLINE = [
     "multimodal_pipeline",
 ]
 
+# Per-query PLAN semver for the timing-history fold: row count alone can't
+# see a plan change that keeps results identical (the fold key is
+# name+sf+rows). Bump a query here whenever its plan/work changes; records
+# without the matching version stay in history as provenance only.
+# v2 dedup_pair_mining: jaccard sizes joins are AQE-decided (no forced
+# broadcast of the per-doc sizes frame) since r5.
+QUERY_VER = {"dedup_pair_mining": 2}
+
 
 def _engine_stamp() -> str:
     """Semantic version of the apply pipeline's per-event WORK (see
@@ -927,6 +935,7 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
         for name, t in this_run.items():
             f.write(json.dumps({"name": name, "sf": sf,
                                 "rows": rows_by_q[name], "best": t,
+                                "qv": QUERY_VER.get(name, 1),
                                 "ts": time.time()}) + "\n")
     times = dict(this_run)
     for line in open(QUERY_HISTORY):
@@ -937,6 +946,7 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
         name = h.get("name")
         if (name in times and h.get("sf") == sf
                 and h.get("rows") == rows_by_q.get(name)
+                and h.get("qv", 1) == QUERY_VER.get(name, 1)
                 and isinstance(h.get("best"), (int, float))):
             times[name] = min(times[name], round(float(h["best"]), 3))
     return times, this_run
