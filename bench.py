@@ -1314,6 +1314,7 @@ def _input_linearity_section(base_events: int) -> str:
     input grows 4x is the profile a 10^10-event ingest extrapolation needs."""
     per: dict[int, float] = {}
     counts: dict[int, int] = {}
+    bwalls: dict[int, list] = {}  # best record's per-micro-batch walls
     try:
         for line in open(PROBE_HISTORY):
             try:
@@ -1332,6 +1333,9 @@ def _input_linearity_section(base_events: int) -> str:
                 # methodology (ADVICE r4: the 128M 167.05 single-wall record)
                 continue
             n = int(h["n_events"])
+            if min(h["walls"]) < per.get(n, float("inf")):
+                if h.get("batch_walls"):
+                    bwalls[n] = h["batch_walls"]
             per[n] = min(per.get(n, float("inf")), *h["walls"])
             counts[n] = counts.get(n, 0) + len(h["walls"])
     except FileNotFoundError:
@@ -1360,7 +1364,42 @@ def _input_linearity_section(base_events: int) -> str:
         f"\nThroughput at {hi // 1_000_000}M events is **{ratio:.2f}x** the "
         f"{lo // 1_000_000}M-event rate (1.0 = perfectly flat; >1 = fixed "
         "per-run costs amortizing away, the expected direction).\n"
+        + _droop_attribution(bwalls)
     )
+
+
+def _droop_attribution(bwalls: dict[int, list]) -> str:
+    """Attribute sub-linearity at the largest input from the best run's
+    per-micro-batch walls (recorded from lease-ring commit mtimes since r5):
+    rising walls across a replay = accumulation cost (cow MERGE re-unions
+    each affected bucket's accumulated rows as the lake grows); flat walls =
+    per-run fixed cost. The verdict is computed from the data, not asserted."""
+    if not bwalls:
+        return ""
+    parts = [f"{n // 1_000_000}M: {bwalls[n]}" for n in sorted(bwalls)]
+    out = ("\nPer-micro-batch walls of each size's best run (derived from "
+           "lease-ring commit mtimes, zero timing overhead) — "
+           + "; ".join(parts) + ".")
+    bw = bwalls[max(bwalls)]
+    if len(bw) >= 3:
+        # compare steady-state batches (skip batch 0: it carries JVM/stream
+        # start ramp) — last vs first steady batch
+        if bw[-1] > bw[1] * 1.15:
+            out += (
+                " At the largest size the later batches RUN SLOWER than the "
+                "earlier ones: each copy-on-write MERGE unions the incoming "
+                "batch with the affected buckets' ACCUMULATED rows, so with "
+                "full-coverage batches per-batch cost grows with lake size — "
+                "the droop is accumulation, not fixed cost. This is exactly "
+                "the axis the write-mode section prices: merge-on-read "
+                "bounds per-batch write work by the BATCH, deferring the "
+                "union to compaction.")
+        else:
+            out += (
+                " Per-batch walls are ~flat across the replay — the droop "
+                "is dominated by per-run fixed cost (JVM ramp, planning), "
+                "which amortizes on a long-running service.")
+    return out + "\n"
 
 
 def _steal_section(n_events: int) -> str:
