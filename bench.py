@@ -1333,9 +1333,9 @@ def _input_linearity_section(base_events: int) -> str:
                 # methodology (ADVICE r4: the 128M 167.05 single-wall record)
                 continue
             n = int(h["n_events"])
-            if min(h["walls"]) < per.get(n, float("inf")):
-                if h.get("batch_walls"):
-                    bwalls[n] = h["batch_walls"]
+            if h.get("batch_walls"):
+                bwalls.setdefault(n, []).append(
+                    (min(h["walls"]), h["batch_walls"]))
             per[n] = min(per.get(n, float("inf")), *h["walls"])
             counts[n] = counts.get(n, 0) + len(h["walls"])
     except FileNotFoundError:
@@ -1369,37 +1369,49 @@ def _input_linearity_section(base_events: int) -> str:
 
 
 def _droop_attribution(bwalls: dict[int, list]) -> str:
-    """Attribute sub-linearity at the largest input from the best run's
-    per-micro-batch walls (recorded from lease-ring commit mtimes since r5):
-    rising walls across a replay = accumulation cost (cow MERGE re-unions
-    each affected bucket's accumulated rows as the lake grows); flat walls =
-    per-run fixed cost. The verdict is computed from the data, not asserted."""
-    if not bwalls:
+    """Attribute sub-linearity at the largest input from per-micro-batch
+    walls (recorded from lease-ring commit mtimes since r5): a CONSISTENT
+    rise across every replay = accumulation cost (cow MERGE re-unions each
+    affected bucket's accumulated rows as the lake grows); no consistent
+    gradient = per-batch fixed cost + host weather. The verdict is computed
+    from ALL instrumented runs, not asserted — a single run's gradient flips
+    sign with host weather on this box."""
+    biggest = max(bwalls) if bwalls else 0
+    runs = [(w, bw) for w, bw in bwalls.get(biggest, []) if len(bw) >= 3]
+    if not runs:
         return ""
-    parts = [f"{n // 1_000_000}M: {bwalls[n]}" for n in sorted(bwalls)]
-    out = ("\nPer-micro-batch walls of each size's best run (derived from "
-           "lease-ring commit mtimes, zero timing overhead) — "
-           + "; ".join(parts) + ".")
-    bw = bwalls[max(bwalls)]
-    if len(bw) >= 3:
-        # compare steady-state batches (skip batch 0: it carries JVM/stream
-        # start ramp) — last vs first steady batch
-        if bw[-1] > bw[1] * 1.15:
-            out += (
-                " At the largest size the later batches RUN SLOWER than the "
-                "earlier ones: each copy-on-write MERGE unions the incoming "
-                "batch with the affected buckets' ACCUMULATED rows, so with "
-                "full-coverage batches per-batch cost grows with lake size — "
-                "the droop is accumulation, not fixed cost. This is exactly "
-                "the axis the write-mode section prices: merge-on-read "
-                "bounds per-batch write work by the BATCH, deferring the "
-                "union to compaction.")
-        else:
-            out += (
-                " Per-batch walls are ~flat across the replay — the droop "
-                "is dominated by per-run fixed cost (JVM ramp, planning), "
-                "which amortizes on a long-running service.")
-    return out + "\n"
+    shown = "; ".join(f"run wall {w:.0f}s -> batches {bw}"
+                      for w, bw in sorted(runs))
+    # steady-state gradient per run: last batch vs batch 1 (batch 0 carries
+    # stream-start ramp)
+    rising = [bw[-1] > bw[1] * 1.15 for _w, bw in runs]
+    if all(rising) and len(runs) >= 2:
+        verdict = (
+            "Later batches run consistently slower in EVERY replay: each "
+            "copy-on-write MERGE unions the incoming batch with the affected "
+            "buckets' ACCUMULATED rows, so with full-coverage batches "
+            "per-batch cost grows with lake size — the droop is "
+            "accumulation. Merge-on-read (write-mode section) bounds "
+            "per-batch write work by the BATCH and is the knob for this.")
+    elif not any(rising):
+        verdict = (
+            "Per-batch walls show no rise across any replay — the droop is "
+            "per-batch fixed overhead (trigger/planning/commit cycles: more "
+            "batches at larger input under the 32M cap) plus cross-era host "
+            "noise, not state accumulation.")
+    else:
+        verdict = (
+            "The gradient's SIGN flips between replays (rising in some, "
+            "falling in others) — per-batch walls track host weather, not "
+            "lake growth, so the droop cannot be attributed to state "
+            "accumulation; the residual is per-batch fixed overhead (twice "
+            "as many trigger/planning/commit cycles as 64M under the 32M "
+            "micro-batch cap) plus cross-era noise. The accumulation axis "
+            "is separately priced by the write-mode section (merge-on-read "
+            "bounds per-batch work by the batch).")
+    return (f"\nPer-micro-batch walls at {biggest // 1_000_000}M (derived "
+            "from lease-ring commit mtimes, zero timing overhead): "
+            + shown + ". " + verdict + "\n")
 
 
 def _steal_section(n_events: int) -> str:
